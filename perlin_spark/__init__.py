@@ -1,0 +1,28 @@
+"""perlin_spark — a PySpark-native full-text indexing & retrieval engine.
+
+A from-scratch rebuild of the capabilities of CurrySoftware/perlin
+(reference at /root/reference, surveyed in SURVEY.md): per-field inverted
+indexes built by vectorized analysis pipelines, delta+varbyte-compressed
+posting blobs, BM25 top-k retrieval with boolean combinators and chained
+filters — all expressed as plain DataFrames + Arrow UDFs so Catalyst does
+the relational work and the data-level algorithms stay vectorized.
+"""
+
+from .analysis import FieldSpec, QueryPipeline, QuerySpec
+from .build import IndexData, assign_doc_ids, build_index
+from .engine import May, Must, MustNot, PerlinEngine
+from .hierarchy import Hierarchy
+
+__all__ = [
+    "FieldSpec",
+    "QueryPipeline",
+    "QuerySpec",
+    "IndexData",
+    "assign_doc_ids",
+    "build_index",
+    "PerlinEngine",
+    "Must",
+    "MustNot",
+    "May",
+    "Hierarchy",
+]

@@ -1,0 +1,225 @@
+"""Vectorized analysis pipelines (tokenize -> normalize -> route).
+
+Re-expresses the reference's push-based ``pipeline!`` chains
+(``/root/reference/src/language/mod.rs:181-234``) as vectorized pandas
+transforms run inside ``mapInPandas`` — no per-row Python in the hot path,
+per the driver contract (BASELINE.json ``input_hint``).
+
+Stage parity map (SURVEY.md §2.1):
+
+* ``WhitespaceTokenizer``  (``src/language/mod.rs:92-120``)   -> ``Series.str.split()``
+  (pandas' no-arg split == Rust ``split_whitespace``: any Unicode
+  whitespace, empty tokens dropped).
+* ``AlphaNumericTokenizer`` (``src/language/mod.rs:27-56``)   ->
+  ``Series.str.findall(r'[^\\W_]+')`` — Unicode letters+digits, like Rust
+  ``char::is_alphanumeric`` (which excludes ``_``).
+* ``LowercaseFilter``       (``src/language/mod.rs:122-150``) -> ``Series.str.lower()``.
+* ``Stemmer`` (Snowball english, ``src/language/stemmers.rs:9-47``) ->
+  :func:`perlin_spark.stemmer.stem_series` (memoized unique-term stemming).
+* ``StopwordFilter``        (``src/language/stopword_filter.rs:4-27``) -> ``Series.isin``.
+* ``NumberFilter``          (``src/language/integers.rs:13-52``) -> regex route:
+  tokens parsing as **u64** go to a numeric field, the rest stay in the
+  text chain.  Tokens above u64::MAX take the string path, matching the
+  reference's parse failure branch (``src/language/integers.rs:34``).
+* Branch syntax ``Element | [other_field]`` (``src/language/mod.rs:188-195``)
+  -> the routed frames are unioned into the same (field, term) output.
+
+The same ``FieldSpec`` drives both the indexing side and the query side
+(:func:`analyze_query`), which is the parity requirement called out in
+SURVEY.md §2.3 #31.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import pandas as pd
+
+from .stemmer import stem_series
+
+U64_MAX_STR = "18446744073709551615"  # 2**64 - 1, the reference's u64 bound
+_ALNUM_PATTERN = r"[^\W_]+"
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One indexed field and its analysis chain (cf. ``Field<T>``,
+    ``/root/reference/src/field/mod.rs:23-28``)."""
+
+    field: str                       # index field name
+    source: str                      # corpus column analyzed into it
+    tokenizer: str = "whitespace"    # 'whitespace' | 'alphanumeric'
+    lowercase: bool = True
+    stem: bool = False               # Snowball english
+    stopwords: tuple = ()
+    number_field: str | None = None  # route u64 tokens into this field
+    term_doc_ratio: float = 1.0      # weighting knob (src/field/mod.rs:91)
+
+
+def tokenize(content: pd.Series, tokenizer: str) -> pd.Series:
+    """content Series (index = doc position) -> exploded token Series."""
+    s = content.fillna("")
+    if tokenizer == "whitespace":
+        toks = s.str.split()
+    elif tokenizer == "alphanumeric":
+        toks = s.str.findall(_ALNUM_PATTERN)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    exploded = toks.explode()
+    return exploded[exploded.notna()]
+
+
+def _is_u64(tokens: pd.Series) -> pd.Series:
+    """Vectorized u64-parse test (digits only, value <= 2**64-1)."""
+    digits = tokens.str.fullmatch(r"[0-9]+")
+    canon = tokens.str.lstrip("0")
+    short = canon.str.len() < len(U64_MAX_STR)
+    boundary = (canon.str.len() == len(U64_MAX_STR)) & (canon <= U64_MAX_STR)
+    return digits & (short | boundary)
+
+
+def canonical_u64(tokens: pd.Series) -> pd.Series:
+    """Decimal canonical form, like Rust's parse->to_string ('010' -> '10')."""
+    canon = tokens.str.lstrip("0")
+    return canon.mask(canon == "", "0")
+
+
+def apply_field_pipeline(tokens: pd.Series, spec: FieldSpec) -> list[tuple[str, pd.Series]]:
+    """Run one field's chain over an exploded token Series.
+
+    Returns ``[(field_name, term_series), ...]`` — more than one entry when
+    the NumberFilter tees tokens into a numeric field.
+    """
+    out: list[tuple[str, pd.Series]] = []
+    if spec.number_field is not None and len(tokens):
+        numeric = _is_u64(tokens)
+        routed = tokens[numeric]
+        if len(routed):
+            out.append((spec.number_field, canonical_u64(routed)))
+        tokens = tokens[~numeric]
+    if spec.lowercase:
+        tokens = tokens.str.lower()
+    if spec.stopwords and len(tokens):
+        tokens = tokens[~tokens.isin(set(spec.stopwords))]
+    if spec.stem and len(tokens):
+        tokens = stem_series(tokens)
+    out.append((spec.field, tokens))
+    return out
+
+
+def analyze_pandas(pdf: pd.DataFrame, specs: list[FieldSpec], doc_id_col: str = "doc_id") -> pd.DataFrame:
+    """One corpus batch -> tf rows ``(doc_id, field, term, tf)``.
+
+    tf is complete per doc because a document's content lives in one row
+    (so one batch) — this is the map-side combine of the build (SURVEY.md
+    §3.1 Spark lifecycle).
+    """
+    pdf = pdf.reset_index(drop=True)
+    frames: list[pd.DataFrame] = []
+    doc_ids = pdf[doc_id_col]
+    for spec in specs:
+        if spec.source not in pdf.columns:
+            continue
+        content = pdf[spec.source]
+        toks = tokenize(content, spec.tokenizer)
+        if toks.empty:
+            continue
+        for field_name, terms in apply_field_pipeline(toks, spec):
+            if terms.empty:
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc_ids.iloc[terms.index].to_numpy(),
+                        "field": field_name,
+                        "term": terms.to_numpy(),
+                    }
+                )
+            )
+    if not frames:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "field": [], "term": [], "tf": pd.Series([], dtype="int64")}
+        )
+    flat = pd.concat(frames, ignore_index=True)
+    tf = (
+        flat.groupby(["doc_id", "field", "term"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    tf["doc_id"] = tf["doc_id"].astype("int64")
+    tf["tf"] = tf["tf"].astype("int64")
+    return tf
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """Analyzed query: per-field term groups plus chained filters.
+
+    ``groups`` is ``[(field, combinator, (terms...)), ...]`` with
+    combinator in {'all', 'any'} (``Combinator``,
+    ``/root/reference/src/query/operators.rs:13-17``).  Groups combine by
+    intersection (strict AND across analyzed query terms — SURVEY.md §2.4).
+    ``filters`` is ``[(op, field, term), ...]`` with op in
+    {'must', 'must_not', 'may'} (``ChainingOperator``,
+    ``src/query/mod.rs:14-19``).
+    """
+
+    groups: tuple = ()
+    filters: tuple = ()
+
+
+@dataclass(frozen=True)
+class QueryPipeline:
+    """Query-side analyzer: the same chain re-run over the query string
+    (``/root/reference/src/query/query_pipeline.rs:52-68``)."""
+
+    text_spec: FieldSpec
+    text_combinator: str = "all"      # `[All in text]`
+    number_combinator: str = "any"    # `[Any in number]`
+
+    def analyze(self, query: str, filters: tuple = ()) -> QuerySpec:
+        toks = tokenize(pd.Series([query]), self.text_spec.tokenizer)
+        groups: dict[tuple[str, str], list[str]] = {}
+        if not toks.empty:
+            for field_name, terms in apply_field_pipeline(toks, self.text_spec):
+                comb = (
+                    self.number_combinator
+                    if field_name == self.text_spec.number_field
+                    else self.text_combinator
+                )
+                key = (field_name, comb)
+                groups.setdefault(key, []).extend(terms.tolist())
+        group_tuple = tuple(
+            (f, comb, tuple(terms)) for (f, comb), terms in groups.items()
+        )
+        return QuerySpec(groups=group_tuple, filters=tuple(filters))
+
+
+# --- canonical pipelines -------------------------------------------------
+
+def reference_specs() -> list[FieldSpec]:
+    """The reference test application's fields
+    (``/root/reference/src/document_index.rs:60-69,80-89``)."""
+    return [
+        FieldSpec(field="text", source="text", tokenizer="whitespace",
+                  lowercase=True, stem=True, number_field="number"),
+        FieldSpec(field="title", source="title", tokenizer="whitespace",
+                  lowercase=True, stem=True),
+    ]
+
+
+def documents_specs() -> list[FieldSpec]:
+    """Pipeline for /root/testdata documents: whitespace + lowercase only
+    (keeps the DuckDB oracle SQL-expressible; stemming is gated by the
+    golden pytest suite instead)."""
+    return [FieldSpec(field="text", source="text", tokenizer="whitespace", lowercase=True)]
+
+
+def code_specs() -> list[FieldSpec]:
+    """Pipeline for the BASELINE.json input_hint code-repo corpus:
+    alphanumeric tokenizer + lowercase + u64 routing + stemming."""
+    return [
+        FieldSpec(field="content", source="content", tokenizer="alphanumeric",
+                  lowercase=True, stem=False, number_field="number"),
+    ]

@@ -1,0 +1,182 @@
+"""Delta + variable-byte posting-list codec (numpy-vectorized).
+
+Mirrors the storage contract of perlin-core's vint-encoded posting lists
+(consumed by the reference via ``PostingDecoder`` imports,
+``/root/reference/src/query/mod.rs:4-5``; dependency declared at
+``/root/reference/Cargo.toml:13-14``).  The reference stores postings as
+compressed, seekable streams; we store them as binary blobs inside a
+DataFrame column so Spark can shuffle/persist them like any other data.
+
+Blob layout (little-endian)::
+
+    uint32  n_blocks
+    n_blocks * block header (fixed 24 bytes each):
+        int64   first_doc   -- absolute doc_id of the first posting in block
+        int32   count       -- postings in this block (<= block_size)
+        int32   max_tf      -- block-max term frequency (block-max WAND bound)
+        int32   gaps_len    -- payload bytes of the varbyte gap section
+        int32   tfs_len     -- payload bytes of the varbyte tf section
+    payloads, per block, concatenated:
+        varbyte(doc_id deltas)  -- first delta is (doc - first_doc) == 0
+        varbyte(tf values)
+
+Fixed-size headers make block skipping a single ``np.frombuffer`` — the
+scorer reads every block header at once, prunes blocks by doc-range or by
+block-max impact, and only varbyte-decodes surviving blocks.  This is the
+"lazy, ten-at-a-time" decoding discipline of the reference
+(``/root/reference/src/lib.rs:4-5``) re-expressed for vectorized execution.
+
+Varbyte: canonical LEB128-style 7-bit groups, little-endian, MSB is the
+continuation bit.  Both encode and decode are numpy-vectorized: the loops
+below run over *byte positions* (<= 10) not over values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_HEADER_DTYPE = np.dtype(
+    [
+        ("first_doc", "<i8"),
+        ("count", "<i4"),
+        ("max_tf", "<i4"),
+        ("gaps_len", "<i4"),
+        ("tfs_len", "<i4"),
+    ]
+)
+_THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += v >= np.uint64(t)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for p in range(10):
+        mask = nbytes > p
+        if not mask.any():
+            break
+        byte = (v[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
+        out[offsets[mask] + p] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, n_values: int | None = None) -> np.ndarray:
+    """Vectorized varbyte decode -> int64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    is_end = (b & 0x80) == 0
+    value_id = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_end[:-1], out=value_id[1:])
+    end_pos = np.flatnonzero(is_end)
+    starts = np.empty(end_pos.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = end_pos[:-1] + 1
+    pos_in_val = np.arange(b.size, dtype=np.int64) - starts[value_id]
+    contrib = (b & 0x7F).astype(np.int64) << (7 * pos_in_val)
+    if pos_in_val.max() <= 6:
+        # every value fits in 49 bits -> float64 bincount is exact
+        vals = np.bincount(value_id, weights=contrib, minlength=end_pos.size)
+        out = vals.astype(np.int64)
+    else:
+        out = np.zeros(end_pos.size, dtype=np.int64)
+        np.add.at(out, value_id, contrib)
+    if n_values is not None and out.size != n_values:
+        raise ValueError(f"decoded {out.size} values, expected {n_values}")
+    return out
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE
+) -> bytes:
+    """Encode sorted (doc_id, tf) postings into a block blob."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if doc_ids.size != tfs.size:
+        raise ValueError("doc_ids and tfs must have equal length")
+    if doc_ids.size == 0:
+        return np.uint32(0).tobytes()
+    if doc_ids.size > 1 and not (np.diff(doc_ids) > 0).all():
+        raise ValueError("doc_ids must be strictly increasing")
+    n = doc_ids.size
+    n_blocks = (n + block_size - 1) // block_size
+    headers = np.zeros(n_blocks, dtype=_HEADER_DTYPE)
+    payloads: list[bytes] = []
+    for i in range(n_blocks):
+        lo, hi = i * block_size, min((i + 1) * block_size, n)
+        d, t = doc_ids[lo:hi], tfs[lo:hi]
+        gaps = np.empty(d.size, dtype=np.int64)
+        gaps[0] = 0
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        g_buf = varbyte_encode(gaps)
+        t_buf = varbyte_encode(t)
+        headers[i] = (int(d[0]), d.size, int(t.max()), len(g_buf), len(t_buf))
+        payloads.append(g_buf)
+        payloads.append(t_buf)
+    return np.uint32(n_blocks).tobytes() + headers.tobytes() + b"".join(payloads)
+
+
+def read_headers(blob: bytes) -> np.ndarray:
+    """Return the structured block-header array without decoding payloads."""
+    n_blocks = int(np.frombuffer(blob[:4], dtype=np.uint32)[0])
+    return np.frombuffer(blob, dtype=_HEADER_DTYPE, count=n_blocks, offset=4)
+
+
+def decode_postings(
+    blob: bytes, block_mask: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode (doc_ids, tfs) from a blob; ``block_mask`` selects blocks.
+
+    Skipped blocks (mask False) are never varbyte-decoded — this is the
+    seek/skip primitive the scorer's block-max pruning builds on.
+    """
+    headers = read_headers(blob)
+    n_blocks = headers.size
+    if n_blocks == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
+    if block_mask is None:
+        block_mask = np.ones(n_blocks, dtype=bool)
+    payload_off = 4 + n_blocks * _HEADER_DTYPE.itemsize
+    block_bytes = headers["gaps_len"].astype(np.int64) + headers["tfs_len"]
+    block_off = payload_off + np.concatenate(([0], np.cumsum(block_bytes)[:-1]))
+    docs_out: list[np.ndarray] = []
+    tfs_out: list[np.ndarray] = []
+    for i in np.flatnonzero(block_mask):
+        h = headers[i]
+        off = int(block_off[i])
+        g_end = off + int(h["gaps_len"])
+        gaps = varbyte_decode(blob[off:g_end], int(h["count"]))
+        tfs = varbyte_decode(blob[g_end : g_end + int(h["tfs_len"])], int(h["count"]))
+        docs_out.append(np.cumsum(gaps) + h["first_doc"])
+        tfs_out.append(tfs)
+    if not docs_out:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
+    return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def decode_block_count(blob: bytes) -> int:
+    """Total postings in the blob, from headers only (no payload decode)."""
+    return int(read_headers(blob)["count"].sum())
+
+
+def merge_blobs(blobs: list[bytes], block_size: int = BLOCK_SIZE) -> bytes:
+    """Merge blobs whose doc-id ranges are disjoint and given in order.
+
+    Used by the two-stage salted merge (SURVEY.md §2.2 #14): stage-1 blobs
+    cover contiguous disjoint doc ranges, so merging is a re-block of the
+    concatenated decoded arrays (cheap, bounded by the shard size).
+    """
+    parts = [decode_postings(b) for b in blobs]
+    docs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    tfs = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
+    return encode_postings(docs, tfs, block_size=block_size)

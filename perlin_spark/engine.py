@@ -83,7 +83,7 @@ class PerlinEngine:
     def search(
         self,
         query: str | QuerySpec,
-        k: int = 10,
+        k: int | None = 10,
         filters=(),
         pipeline: QueryPipeline | None = None,
     ) -> DataFrame:

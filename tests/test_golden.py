@@ -101,6 +101,16 @@ def test_search_docs_join(engine):
     assert rows[0]["title"] == "Unicorns on Deimos"
 
 
+def test_same_term_as_group_and_filter(engine):
+    """A term used both as a query term and a Must filter must not
+    duplicate result rows (blob dedup across role-expanded join rows)."""
+    a = [(r["doc_id"], r["score"]) for r in
+         engine.search("flew", k=10, filters=[Must("text", "flew")]).collect()]
+    b = [(r["doc_id"], r["score"]) for r in engine.search("flew", k=10).collect()]
+    assert a == b
+    assert len({d for d, _ in a}) == len(a)
+
+
 def test_must_not_and_may(spark):
     from perlin_spark import May, MustNot
 

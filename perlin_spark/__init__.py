@@ -11,6 +11,7 @@ the relational work and the data-level algorithms stay vectorized.
 from .analysis import FieldSpec, QueryPipeline, QuerySpec
 from .build import IndexData, assign_doc_ids, build_index
 from .engine import May, Must, MustNot, PerlinEngine
+from .epochs import build_epoch, list_epochs, load_index
 from .hierarchy import Hierarchy
 
 __all__ = [
@@ -25,4 +26,7 @@ __all__ = [
     "MustNot",
     "May",
     "Hierarchy",
+    "build_epoch",
+    "list_epochs",
+    "load_index",
 ]

@@ -80,6 +80,10 @@ POSTINGS_SCHEMA = StructType(
     ]
 )
 
+#: number of term-hash buckets a persisted epoch's postings are split into;
+#: the bucket is the checkpoint/resume unit (epochs.py)
+DEFAULT_BUCKETS = 8
+
 
 def assign_doc_ids(
     df: DataFrame, order_cols: list[str], num_partitions: int | None = None
@@ -274,6 +278,7 @@ def build_index(
     num_partitions: int | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    epoch: int = 0,
 ) -> IndexData:
     """Build one index epoch over ``corpus``.
 
@@ -310,11 +315,34 @@ def build_index(
         flat.repartition(shuffle_parts, "field", "term", "shard")
         .sortWithinPartitions("field", "term", "shard", "doc_id")
         .mapInPandas(_encode_groups(["field", "term", "shard"], block_size), POSTINGS_SCHEMA)
+        .withColumn("epoch", F.lit(epoch))
     ).persist()  # postings + doc_lens both read this; avoid double compute
 
+    return index_from_merged(
+        spark, specs, merged, docs,
+        n_docs=n_docs, chunk=chunk, n_shards=n_shards,
+        block_size=block_size, k1=k1, b=b,
+    )
+
+
+def index_from_merged(
+    spark: SparkSession,
+    specs: list[FieldSpec],
+    merged: DataFrame,
+    docs: DataFrame,
+    *,
+    n_docs: int,
+    chunk: int,
+    n_shards: int,
+    block_size: int,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> IndexData:
+    """Assemble an IndexData from a merged postings frame (in-memory build
+    or persisted epochs-union) — vocabulary and stats are derived lazily."""
     postings = merged.filter(F.col("term") != DL_MARKER)
     doc_lens = merged.filter(F.col("term") == DL_MARKER).select(
-        "field", "shard", F.col("df").alias("n_docs"), "blob"
+        "field", "shard", F.col("df").alias("n_docs"), "blob", "epoch"
     )
 
     vocabulary = postings.groupBy("field", "term").agg(F.sum("df").alias("df")).withColumn(

@@ -86,13 +86,14 @@ class PerlinEngine:
         k: int | None = 10,
         filters=(),
         pipeline: QueryPipeline | None = None,
+        prune: bool = True,
     ) -> DataFrame:
         if isinstance(query, str):
             pl = pipeline or self.pipeline
             spec = pl.analyze(query, tuple((f.op, f.field, f.term) for f in filters))
         else:
             spec = query
-        return _search(self.index, spec, k=k)
+        return _search(self.index, spec, k=k, prune=prune)
 
     def search_docs(self, query, k: int = 10, filters=(), pipeline=None) -> DataFrame:
         """Search + join back the docs table (the ``ExternalId`` lookup,

@@ -1,0 +1,289 @@
+"""Index epochs: persisted commits with checkpoint/resume and lineage.
+
+The reference's ``commit()`` makes documents queryable in batches
+(``/root/reference/src/field/mod.rs:30-37``,
+``perlin-derive/src/index_struct.rs:31-33``).  Here each commit is an
+**epoch directory** of parquet tables plus a JSON manifest with
+per-bucket lineage (doc/term/posting counts + status) — the north_star's
+"checkpoints each index epoch … so a killed job resumes mid-merge".
+
+Layout::
+
+    {root}/epoch={E}/
+        docs/                        parquet (+ sha256 invariant column)
+        postings/bucket={0..B-1}/    parquet, bucket = pmod(hash(field,term),B)
+        manifest.json                params + per-bucket lineage
+        _EPOCH_SUCCESS
+
+Resume contract: ``build_epoch`` is idempotent.  The docs table is written
+first (freezing doc-id assignment); postings buckets are merged in batches,
+each batch followed by a manifest flush recording the completed buckets'
+row/doc/term counts.  A killed job re-run with the same arguments skips
+completed buckets and merges only the missing ones — tokenization is
+re-run only for the pending buckets' terms (a filter on the bucket hash),
+never re-shuffling completed ones.  Determinism holds because doc ids come
+from the frozen docs table and the bucket/salt functions are pure.
+
+Multi-epoch reads: ``load_index`` unions all committed epochs; doc-id
+ranges never overlap across epochs (each epoch's ids start above the
+previous max), and the scorer merges per-(term, shard, epoch) blobs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import codec
+from .analysis import FieldSpec
+from .build import (
+    B_DEFAULT,
+    DEFAULT_BUCKETS,
+    DL_MARKER,
+    K1_DEFAULT,
+    POSTINGS_SCHEMA,
+    IndexData,
+    _encode_groups,
+    assign_doc_ids,
+    index_from_merged,
+    tokenize_corpus,
+)
+
+MANIFEST = "manifest.json"
+SUCCESS = "_EPOCH_SUCCESS"
+
+
+def _epoch_dir(root: str, epoch: int) -> str:
+    return os.path.join(root, f"epoch={epoch}")
+
+
+def _read_manifest(edir: str) -> dict | None:
+    path = os.path.join(edir, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_manifest(edir: str, manifest: dict) -> None:
+    os.makedirs(edir, exist_ok=True)
+    tmp = os.path.join(edir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path := os.path.join(edir, MANIFEST))  # atomic flush
+
+
+def list_epochs(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("epoch=") and os.path.exists(
+            os.path.join(root, name, SUCCESS)
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def build_epoch(
+    spark: SparkSession,
+    corpus: DataFrame,
+    specs: list[FieldSpec],
+    root: str,
+    *,
+    epoch: int | None = None,
+    doc_id_col: str | None = "doc_id",
+    order_cols: list[str] | None = None,
+    content_col: str | None = None,
+    n_shards: int = 8,
+    buckets: int = DEFAULT_BUCKETS,
+    bucket_batches: int = 4,
+    block_size: int = codec.BLOCK_SIZE,
+    num_partitions: int | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    fail_after_batches: int | None = None,  # test hook: simulate a kill
+) -> int:
+    """Build (or resume) one persisted epoch; returns the epoch id."""
+    committed = list_epochs(root)
+    if epoch is None:
+        # resume an uncommitted epoch if one exists, else start the next
+        pending = [
+            int(n.split("=", 1)[1])
+            for n in (os.listdir(root) if os.path.isdir(root) else [])
+            if n.startswith("epoch=") and int(n.split("=", 1)[1]) not in committed
+        ]
+        epoch = min(pending) if pending else (committed[-1] + 1 if committed else 0)
+    edir = _epoch_dir(root, epoch)
+    if os.path.exists(os.path.join(edir, SUCCESS)):
+        return epoch
+
+    manifest = _read_manifest(edir)
+    base_doc_id = 0
+    for e in committed:
+        prev = _read_manifest(_epoch_dir(root, e))
+        if prev:
+            base_doc_id = max(base_doc_id, int(prev["max_doc_id"]) + 1)
+
+    # --- stage 1: freeze docs (doc-id assignment + sha256 invariant) --------
+    docs_dir = os.path.join(edir, "docs")
+    if manifest is None or not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        staged = corpus
+        if doc_id_col is not None and doc_id_col not in corpus.columns:
+            raise ValueError(
+                f"doc_id_col {doc_id_col!r} not in corpus; pass doc_id_col=None "
+                "with order_cols to assign ids"
+            )
+        if doc_id_col is None:
+            if not order_cols:
+                raise ValueError("need order_cols to assign doc ids")
+            staged = assign_doc_ids(staged, order_cols, num_partitions)
+            staged = staged.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
+        elif doc_id_col != "doc_id":
+            staged = staged.withColumnRenamed(doc_id_col, "doc_id")
+        if content_col is not None:
+            staged = staged.withColumn("sha256", F.sha2(F.col(content_col), 256))
+        staged.write.mode("overwrite").parquet(docs_dir)
+
+    docs = spark.read.parquet(docs_dir)
+    if manifest is None:
+        bounds = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx"),
+            F.min("doc_id").alias("mn"),
+        ).collect()[0]
+        n_docs = int(bounds["n"] or 0)
+        max_id = int(bounds["mx"]) if bounds["mx"] is not None else -1
+        min_id = int(bounds["mn"]) if bounds["mn"] is not None else 0
+        chunk = max(1, math.ceil((max_id - min_id + 1) / n_shards))
+        manifest = {
+            "epoch": epoch,
+            "created_unix": int(time.time()),
+            "params": {
+                "k1": k1, "b": b, "n_shards": n_shards, "buckets": buckets,
+                "block_size": block_size, "chunk": chunk, "min_doc_id": min_id,
+            },
+            "specs": [asdict(s) for s in specs],
+            "n_docs": n_docs,
+            "max_doc_id": max_id,
+            "buckets": {str(i): {"status": "pending"} for i in range(buckets)},
+        }
+        _write_manifest(edir, manifest)
+    params = manifest["params"]
+    chunk, min_id = int(params["chunk"]), int(params["min_doc_id"])
+
+    # --- stage 2: bucketed merge (the resume unit) ---------------------------
+    pending = [i for i in range(buckets) if manifest["buckets"][str(i)]["status"] != "done"]
+    if pending:
+        flat = tokenize_corpus(docs, specs).withColumn(
+            "shard", F.expr(f"(doc_id - {min_id}) div {chunk}")
+        ).withColumn("bucket", F.pmod(F.hash("field", "term"), F.lit(buckets)))
+        shuffle_parts = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        per_batch = max(1, math.ceil(len(pending) / bucket_batches))
+        done_batches = 0
+        for i in range(0, len(pending), per_batch):
+            batch = pending[i : i + per_batch]
+            part = (
+                flat.filter(F.col("bucket").isin(batch))
+                .repartition(shuffle_parts, "field", "term", "shard")
+                .sortWithinPartitions("field", "term", "shard", "doc_id")
+                .mapInPandas(
+                    _encode_groups(["field", "term", "shard"], int(params["block_size"])),
+                    POSTINGS_SCHEMA,
+                )
+                .withColumn("bucket", F.pmod(F.hash("field", "term"), F.lit(buckets)))
+            )
+            (
+                part.write.mode("overwrite")
+                .format("parquet")
+                .partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .save(os.path.join(edir, "postings"))
+            )
+            # lineage metrics per completed bucket
+            written = spark.read.parquet(os.path.join(edir, "postings")).filter(
+                F.col("bucket").isin(batch)
+            )
+            lineage = {
+                int(r["bucket"]): r
+                for r in written.groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.countDistinct("term").alias("terms"),
+                    F.sum("df").alias("postings"),
+                )
+                .collect()
+            }
+            for bkt in batch:
+                r = lineage.get(bkt)
+                manifest["buckets"][str(bkt)] = {
+                    "status": "done",
+                    "rows": int(r["rows"]) if r else 0,
+                    "term_count": int(r["terms"]) if r else 0,
+                    "posting_count": int(r["postings"]) if r else 0,
+                }
+            _write_manifest(edir, manifest)
+            done_batches += 1
+            if fail_after_batches is not None and done_batches >= fail_after_batches:
+                raise RuntimeError(f"simulated kill after {done_batches} batches")
+
+    # --- stage 3: commit ------------------------------------------------------
+    manifest["doc_count_total"] = int(manifest["n_docs"])
+    manifest["term_count_total"] = sum(
+        b.get("term_count", 0) for b in manifest["buckets"].values()
+    )
+    manifest["committed_unix"] = int(time.time())
+    _write_manifest(edir, manifest)
+    with open(os.path.join(edir, SUCCESS), "w") as f:
+        f.write("ok\n")
+    return epoch
+
+
+def load_index(
+    spark: SparkSession,
+    root: str,
+    specs: list[FieldSpec] | None = None,
+    upto_epoch: int | None = None,
+) -> IndexData:
+    """Union all committed epochs (≤ upto_epoch) into one queryable index."""
+    epochs = list_epochs(root)
+    if upto_epoch is not None:
+        epochs = [e for e in epochs if e <= upto_epoch]
+    if not epochs:
+        raise FileNotFoundError(f"no committed epochs under {root}")
+
+    merged = None
+    docs = None
+    n_docs = 0
+    manifest0 = _read_manifest(_epoch_dir(root, epochs[0]))
+    if specs is None:
+        specs = [FieldSpec(**s) for s in manifest0["specs"]]
+    for e in epochs:
+        edir = _epoch_dir(root, e)
+        m = _read_manifest(edir)
+        n_docs += int(m["n_docs"])
+        part = (
+            spark.read.parquet(os.path.join(edir, "postings"))
+            .drop("bucket")
+            .withColumn("epoch", F.lit(e))
+        )
+        d = spark.read.parquet(os.path.join(edir, "docs"))
+        merged = part if merged is None else merged.unionByName(part)
+        docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
+
+    params = manifest0["params"]
+    return index_from_merged(
+        spark, specs, merged, docs,
+        n_docs=n_docs,
+        chunk=int(params["chunk"]),
+        n_shards=int(params["n_shards"]),
+        block_size=int(params["block_size"]),
+        k1=float(params["k1"]),
+        b=float(params["b"]),
+    )

@@ -103,10 +103,11 @@ class _ShardScorer:
     All query metadata arrives as columns of the matched-postings frame.
     """
 
-    def __init__(self, k1: float, b: float, topk: int | None):
+    def __init__(self, k1: float, b: float, topk: int | None, prune: bool = True):
         self.k1 = k1
         self.b = b
         self.topk = topk
+        self.prune = prune
 
     @staticmethod
     def _empty() -> pd.DataFrame:
@@ -118,12 +119,24 @@ class _ShardScorer:
         if not len(pdf):
             return self._empty()
 
-        # doc-length lookup per field (decoded once per shard)
+        # doc-length lookup per field (decoded once per shard; a group may
+        # carry several distinct dl blobs — one per epoch — merge them all)
         dl_lookup: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for field, grp in pdf.groupby("field", sort=False):
-            dl_blob = grp["dl_blob"].iloc[0]
-            if dl_blob is not None:
-                dl_lookup[field] = codec.decode_postings(bytes(dl_blob))
+            seen: set[bytes] = set()
+            ds, ts = [], []
+            for dl_blob in grp["dl_blob"]:
+                if dl_blob is None:
+                    continue
+                buf = bytes(dl_blob)
+                if buf in seen:
+                    continue
+                seen.add(buf)
+                d, t = codec.decode_postings(buf)
+                ds.append(d)
+                ts.append(t)
+            if ds:
+                dl_lookup[field] = _merge_sorted(ds, ts)
 
         # one logical "operand" per (role, group, field, term); shards were
         # merged at build so multiple rows per operand are distinct shards
@@ -136,8 +149,8 @@ class _ShardScorer:
         for r in pdf.itertuples(index=False):
             key = (r.field, r.term)
             # a term used in several roles arrives once per role; collect
-            # its (shard-unique) blob exactly once
-            blob_key = (r.field, r.term, int(r.shard))
+            # its blob exactly once per (shard, epoch)
+            blob_key = (r.field, r.term, int(r.shard), int(r.epoch))
             if blob_key not in seen_blob:
                 seen_blob.add(blob_key)
                 blobs_by_term.setdefault(key, []).append(bytes(r.blob))
@@ -154,6 +167,7 @@ class _ShardScorer:
                     "idf": float(r.idf),
                     "weight": float(r.weight),
                     "avgdl": max(float(r.avgdl), 1e-9),
+                    "mindl": max(float(r.mindl), 0.0),
                 }
 
         def decode_full(key):
@@ -188,6 +202,22 @@ class _ShardScorer:
         first = pdf.iloc[0]
         if len(groups) < int(first["n_groups"]) or len(must) < int(first["n_must"]):
             return self._empty()
+
+        # --- block-max MaxScore fast path (pure disjunctive top-k) -----------
+        # The WAND-family pruning of the north_star: per-block max_tf headers
+        # give impact upper bounds; non-essential posting lists are never
+        # fully decoded.  Only safe for a single Any group with no filters.
+        if (
+            self.prune
+            and self.topk is not None
+            and len(groups) == 1
+            and not must
+            and not must_not
+            and not may
+        ):
+            (g,) = groups.values()
+            if g["comb"] == "any" and len(g["terms"]) > 1:
+                return self._score_maxscore(g["terms"], blobs_by_term, dl_lookup)
 
         cand: np.ndarray | None = None
         for g in groups.values():
@@ -264,6 +294,118 @@ class _ShardScorer:
         return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
 
 
+def _impact_bound(max_tf: float, idf: float, weight: float,
+                  mindl: float, avgdl: float, k1: float, b: float) -> float:
+    """Safe upper bound on a term's BM25 contribution: tf <= max_tf and the
+    tf-normalization is monotone in tf and anti-monotone in dl (dl >= mindl)."""
+    return weight * idf * max_tf * (k1 + 1.0) / (
+        max_tf + k1 * (1.0 - b + b * mindl / avgdl)
+    )
+
+
+def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
+    """MaxScore with block-max bounds; exact top-k, partial decode.
+
+    1. seed θ: fully score the single highest-bound list's docs;
+    2. split terms into essential (prefix) / non-essential (suffix with
+       cumulative bound < θ);
+    3. candidates = union of essential docs; prune each candidate whose
+       essential-exact + non-essential-bound < θ; survivors get exact
+       non-essential contributions decoded ONLY for blocks whose block-max
+       bound could matter and that overlap the survivor range.
+    """
+    k1, b = self.k1, self.b
+
+    def full_bound(op):
+        mx = max(
+            (int(codec.read_headers(blob)["max_tf"].max())
+             for blob in blobs_by_term[(op["field"], op["term"])]
+             if codec.read_headers(blob).size),
+            default=0,
+        )
+        return _impact_bound(mx, op["idf"], op["weight"], op["mindl"], op["avgdl"], k1, b)
+
+    def exact(op, cand):
+        d, t = _decode_overlapping(
+            blobs_by_term[(op["field"], op["term"])], int(cand[0]), int(cand[-1])
+        ) if cand.size else (np.zeros(0, np.int64),) * 2
+        out = np.zeros(cand.size, dtype=np.float64)
+        if d.size == 0:
+            return out
+        pos = _membership(d, cand)
+        hit = pos >= 0
+        if not hit.any():
+            return out
+        tf = t[pos[hit]].astype(np.float64)
+        dl_docs, dl_vals = dl_lookup.get(op["field"], (np.zeros(0, np.int64),) * 2)
+        if dl_docs.size:
+            dpos = _membership(dl_docs, cand[hit])
+            dl = np.where(dpos >= 0, dl_vals[np.maximum(dpos, 0)], op["avgdl"])
+        else:
+            dl = np.full(int(hit.sum()), op["avgdl"])
+        out[hit] = op["weight"] * bm25_contrib(
+            tf, dl.astype(np.float64), op["idf"], op["avgdl"], k1, b
+        )
+        return out
+
+    ordered = sorted(terms, key=full_bound, reverse=True)
+    bounds = np.array([full_bound(op) for op in ordered])
+
+    # seed θ from the highest-bound list alone (exact over all terms there)
+    seed_docs = _merge_sorted(
+        *zip(*[codec.decode_postings(bl)
+               for bl in blobs_by_term[(ordered[0]["field"], ordered[0]["term"])]])
+    )[0]
+    seed_scores = np.zeros(seed_docs.size, dtype=np.float64)
+    for op in ordered:
+        seed_scores += exact(op, seed_docs)
+    # θ is a valid pruning threshold only once we HAVE topk scored docs;
+    # a shard with fewer seed matches must not prune at all (any of its
+    # other matches could still make the global top-k)
+    if seed_docs.size >= self.topk:
+        theta = np.partition(seed_scores, -self.topk)[-self.topk]
+    else:
+        theta = 0.0
+
+    # essential prefix: smallest prefix whose complement bound sum < θ
+    suffix = np.cumsum(bounds[::-1])[::-1]  # suffix[i] = sum bounds[i:]
+    n_ess = len(ordered)
+    for i in range(1, len(ordered)):
+        if suffix[i] < theta:
+            n_ess = i
+            break
+    essential, nonessential = ordered[:n_ess], ordered[n_ess:]
+
+    cand = np.unique(
+        np.concatenate(
+            [
+                _merge_sorted(
+                    *zip(*[codec.decode_postings(bl)
+                           for bl in blobs_by_term[(op["field"], op["term"])]])
+                )[0]
+                for op in essential
+            ]
+        )
+    )
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for op in essential:
+        scores += exact(op, cand)
+    ne_bound = float(suffix[n_ess]) if n_ess < len(ordered) else 0.0
+    keep = scores + ne_bound >= theta  # strict-drop only when bound < θ
+    cand, scores = cand[keep], scores[keep]
+    for op in nonessential:
+        if cand.size == 0:
+            break
+        scores += exact(op, cand)
+
+    k = min(self.topk, cand.size)
+    order = np.lexsort((cand, -scores))[:k]
+    return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
+
+
+_ShardScorer._score_maxscore = _scorer_maxscore
+
+
 def _terms_meta_pdf(query: QuerySpec, ratios: dict[str, float]) -> pd.DataFrame | None:
     rows: list[tuple] = []
     n_groups = 0
@@ -321,6 +463,9 @@ def search(
     terms_pdf["avgdl"] = [
         stats.get(f, {"avgdl": 1.0})["avgdl"] for f in terms_pdf["field"]
     ]
+    terms_pdf["mindl"] = [
+        float(stats.get(f, {"mindl": 0})["mindl"]) for f in terms_pdf["field"]
+    ]
     terms_meta = spark.createDataFrame(terms_pdf)
 
     fields_needed = sorted(set(terms_pdf["field"]))
@@ -346,7 +491,7 @@ def search(
         "left",
     )
 
-    scorer = _ShardScorer(index.k1, index.b, k)
+    scorer = _ShardScorer(index.k1, index.b, k, prune)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return scorer(pdf)

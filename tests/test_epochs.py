@@ -1,0 +1,111 @@
+"""Epoch commit / resume / multi-epoch union tests (SURVEY.md §5 item 6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from perlin_spark import (
+    FieldSpec,
+    PerlinEngine,
+    QueryPipeline,
+    build_epoch,
+    build_index,
+    list_epochs,
+    load_index,
+)
+from perlin_spark import codec
+from perlin_spark.analysis import reference_specs
+from perlin_spark.fixtures import (
+    GOLDEN_DOCS,
+    GOLDEN_EXTRA_DOCS,
+    GOLDEN_FREQUENT_NUMBER,
+    golden_corpus,
+)
+
+SPEC = FieldSpec(field="text", source="text")
+
+
+def _postings_set(index) -> set:
+    rows = index.postings.select("field", "term", "blob").collect()
+    out = set()
+    for r in rows:
+        docs, tfs = codec.decode_postings(bytes(r["blob"]))
+        for d, t in zip(docs.tolist(), tfs.tolist()):
+            out.add((r["field"], r["term"], d, t))
+    return out
+
+
+def test_epoch_build_and_load(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    corpus = golden_corpus(spark)
+    e = build_epoch(spark, corpus, reference_specs(), root, n_shards=2, buckets=4)
+    assert e == 0 and list_epochs(root) == [0]
+    idx = load_index(spark, root)
+    eng = PerlinEngine(idx, QueryPipeline(
+        text_spec=FieldSpec(field="text", source="text", stem=True, number_field="number")))
+    got = [r["doc_id"] for r in eng.search("deimos phobos", k=10).collect()]
+    assert got == [2]
+
+
+def test_two_epoch_union_matches_single_build(spark, tmp_path):
+    """commit(); add_document(...); commit() — queries see the union
+    (src/document_index.rs:179-188)."""
+    root = str(tmp_path / "idx2")
+    build_epoch(spark, golden_corpus(spark), reference_specs(), root,
+                n_shards=2, buckets=4)
+    extra = spark.createDataFrame(
+        GOLDEN_EXTRA_DOCS, "doc_id long, title string, text string"
+    )
+    build_epoch(spark, extra, reference_specs(), root, n_shards=2, buckets=4)
+    assert list_epochs(root) == [0, 1]
+
+    union = load_index(spark, root)
+    single = build_index(
+        spark, golden_corpus(spark, extra=True), reference_specs(), n_shards=2
+    )
+    assert _postings_set(union) == _postings_set(single)
+
+    # golden frequent_terms over the union
+    got = [(r["df"], r["term"]) for r in union.frequent_terms("number", 3).collect()]
+    assert got == GOLDEN_FREQUENT_NUMBER
+
+    # cross-epoch conjunctive query still exact
+    eng = PerlinEngine(union, QueryPipeline(
+        text_spec=FieldSpec(field="text", source="text", stem=True, number_field="number")))
+    assert [r["doc_id"] for r in eng.search("flew", k=10).collect()] == [0, 1, 2]
+
+
+def test_resume_after_kill_is_identical(spark, tmp_path):
+    """Kill mid-merge -> rerun -> same index as an uninterrupted build."""
+    corpus = golden_corpus(spark)
+    root_a = str(tmp_path / "killed")
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        build_epoch(spark, corpus, reference_specs(), root_a,
+                    n_shards=2, buckets=4, bucket_batches=4, fail_after_batches=1)
+    assert list_epochs(root_a) == []  # not committed
+    # resume: same call, no fail hook
+    e = build_epoch(spark, corpus, reference_specs(), root_a,
+                    n_shards=2, buckets=4, bucket_batches=4)
+    assert e == 0 and list_epochs(root_a) == [0]
+
+    root_b = str(tmp_path / "clean")
+    build_epoch(spark, corpus, reference_specs(), root_b, n_shards=2, buckets=4)
+    assert _postings_set(load_index(spark, root_a)) == _postings_set(load_index(spark, root_b))
+
+
+def test_manifest_lineage(spark, tmp_path):
+    import json
+    import os
+
+    root = str(tmp_path / "lineage")
+    build_epoch(spark, golden_corpus(spark), reference_specs(), root,
+                n_shards=2, buckets=4)
+    with open(os.path.join(root, "epoch=0", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_docs"] == 3
+    assert all(b["status"] == "done" for b in m["buckets"].values())
+    # posting_count lineage equals an independent recount
+    idx = load_index(spark, root)
+    total_rows = idx.postings.count() + idx.doc_lens.count()
+    assert sum(b["rows"] for b in m["buckets"].values()) == total_rows
+    assert m["params"]["k1"] == 1.2 and m["params"]["b"] == 0.75

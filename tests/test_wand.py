@@ -1,0 +1,64 @@
+"""Block-max MaxScore pruning ≡ exhaustive scoring (SURVEY.md §7 Stage 5 gate).
+
+Randomized corpora + disjunctive queries; the pruned scorer must return the
+exact same (doc_id, score) top-k as the exhaustive path.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+
+from perlin_spark import FieldSpec, PerlinEngine, QueryPipeline
+
+VOCAB = [f"w{i}" for i in range(40)] + ["rare1", "rare2", "midfreq"]
+
+
+def _random_corpus(spark, n_docs: int, seed: int):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.randrange(3, 60)
+        toks = [VOCAB[min(int(1 / max(rng.random(), 1e-9)), len(VOCAB)) - 1] for _ in range(n)]
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_maxscore_equals_exhaustive(spark, seed):
+    spec = FieldSpec(field="text", source="text")
+    corpus = _random_corpus(spark, 400, seed)
+    eng = PerlinEngine.build(
+        spark, corpus, [spec],
+        pipeline=QueryPipeline(text_spec=spec, text_combinator="any"),
+        n_shards=4, block_size=16,
+    ).cache()
+    rng = random.Random(seed * 100)
+    for _ in range(4):
+        terms = rng.sample(VOCAB, rng.randrange(2, 6))
+        q = " ".join(terms)
+        for k in (3, 10):
+            pruned = [(r["doc_id"], round(r["score"], 10))
+                      for r in eng.search(q, k=k, prune=True).collect()]
+            exact = [(r["doc_id"], round(r["score"], 10))
+                     for r in eng.search(q, k=k, prune=False).collect()]
+            assert pruned == exact, (q, k)
+
+
+def test_maxscore_skips_decode(spark):
+    """The pruning path must actually prune: with one dominant term and many
+    weak ones, results still exact (sanity envelope for the bound math)."""
+    spec = FieldSpec(field="text", source="text")
+    rows = [(i, "common " * 5 + (f"rare{i} " if i < 3 else "filler ") * 2)
+            for i in range(200)]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    eng = PerlinEngine.build(
+        spark, corpus, [spec],
+        pipeline=QueryPipeline(text_spec=spec, text_combinator="any"),
+        n_shards=2, block_size=8,
+    )
+    a = [(r["doc_id"], round(r["score"], 10)) for r in eng.search("rare1 common filler", k=5, prune=True).collect()]
+    b = [(r["doc_id"], round(r["score"], 10)) for r in eng.search("rare1 common filler", k=5, prune=False).collect()]
+    assert a == b and len(a) == 5

@@ -31,8 +31,10 @@ SURVEY.md §2.3 #31.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field as dc_field
 
+import numpy as np
 import pandas as pd
 
 from .stemmer import stem_series
@@ -54,6 +56,8 @@ class FieldSpec:
     stopwords: tuple = ()
     number_field: str | None = None  # route u64 tokens into this field
     term_doc_ratio: float = 1.0      # weighting knob (src/field/mod.rs:91)
+    numbers_only: bool = False       # ToUsize: parse-or-drop numeric field
+                                     # (src/language/integers.rs:56-76)
 
 
 def tokenize(content: pd.Series, tokenizer: str) -> pd.Series:
@@ -91,6 +95,12 @@ def apply_field_pipeline(tokens: pd.Series, spec: FieldSpec) -> list[tuple[str, 
     the NumberFilter tees tokens into a numeric field.
     """
     out: list[tuple[str, pd.Series]] = []
+    if spec.numbers_only:
+        # ToUsize semantics: parse as unsigned int, silently drop the rest
+        numeric = _is_u64(tokens) if len(tokens) else tokens.astype(bool)
+        kept = tokens[numeric]
+        out.append((spec.field, canonical_u64(kept) if len(kept) else kept))
+        return out
     if spec.number_field is not None and len(tokens):
         numeric = _is_u64(tokens)
         routed = tokens[numeric]
@@ -107,49 +117,114 @@ def apply_field_pipeline(tokens: pd.Series, spec: FieldSpec) -> list[tuple[str, 
     return out
 
 
+_ALNUM_RE = re.compile(_ALNUM_PATTERN)
+
+
+def _tokenize_lists(contents, tokenizer: str) -> list[list[str]]:
+    if tokenizer == "whitespace":
+        return [s.split() if isinstance(s, str) else [] for s in contents]
+    if tokenizer == "alphanumeric":
+        findall = _ALNUM_RE.findall
+        return [findall(s) if isinstance(s, str) else [] for s in contents]
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
 def analyze_pandas(pdf: pd.DataFrame, specs: list[FieldSpec], doc_id_col: str = "doc_id") -> pd.DataFrame:
     """One corpus batch -> tf rows ``(doc_id, field, term, tf)``.
 
     tf is complete per doc because a document's content lives in one row
     (so one batch) — this is the map-side combine of the build (SURVEY.md
     §3.1 Spark lifecycle).
+
+    Hot-path design: token streams are **dictionary-encoded first**
+    (``pd.factorize``, one C hash pass), then every normalization stage
+    (lowercase, stem, stopwords, u64 routing) runs over the *unique* terms
+    only — Zipfian text makes uniques ~1000x smaller than occurrences —
+    and tf comes from an integer ``np.unique`` over packed (doc, term)
+    keys.  No per-occurrence Python objects are ever created beyond the
+    initial tokenizer output.
     """
     pdf = pdf.reset_index(drop=True)
-    frames: list[pd.DataFrame] = []
-    doc_ids = pdf[doc_id_col]
+    out_frames: list[pd.DataFrame] = []
+    doc_ids_all = pdf[doc_id_col].to_numpy(dtype="int64")
     for spec in specs:
         if spec.source not in pdf.columns:
             continue
-        content = pdf[spec.source]
-        toks = tokenize(content, spec.tokenizer)
-        if toks.empty:
+        lists = _tokenize_lists(pdf[spec.source], spec.tokenizer)
+        lens = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+        total = int(lens.sum())
+        if total == 0:
             continue
-        for field_name, terms in apply_field_pipeline(toks, spec):
-            if terms.empty:
+        flat_tokens = np.empty(total, dtype=object)
+        pos = 0
+        for l in lists:
+            n = len(l)
+            flat_tokens[pos:pos + n] = l
+            pos += n
+        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+
+        codes, uniques = pd.factorize(flat_tokens)
+        uniq = pd.Series(uniques, dtype=object)
+
+        # --- per-unique normalization chain ------------------------------
+        routed: list[tuple[str, np.ndarray, pd.Series]] = []  # (field, mask, terms)
+        if spec.numbers_only:
+            num_mask = _is_u64(uniq).to_numpy()
+            routed.append((spec.field, num_mask, canonical_u64(uniq[num_mask])))
+        else:
+            remaining = np.ones(len(uniq), dtype=bool)
+            if spec.number_field is not None:
+                num_mask = _is_u64(uniq).to_numpy()
+                if num_mask.any():
+                    routed.append(
+                        (spec.number_field, num_mask, canonical_u64(uniq[num_mask]))
+                    )
+                remaining &= ~num_mask
+            terms = uniq[remaining]
+            if spec.lowercase:
+                terms = terms.str.lower()
+            if spec.stopwords and len(terms):
+                keep = ~terms.isin(set(spec.stopwords)).to_numpy()
+                mask = remaining.copy()
+                mask[np.flatnonzero(remaining)[~keep]] = False
+                remaining, terms = mask, terms[keep]
+            if spec.stem and len(terms):
+                terms = stem_series(terms)
+            routed.append((spec.field, remaining, terms))
+
+        for field_name, mask, final_terms in routed:
+            if not mask.any():
                 continue
-            frames.append(
+            # remap occurrence codes -> compact per-field term ids
+            remap = np.full(len(uniq), -1, dtype=np.int64)
+            sel = np.flatnonzero(mask)
+            # identical normalized terms must share one id (tf merges)
+            final_codes, final_uniques = pd.factorize(final_terms.to_numpy())
+            remap[sel] = final_codes
+            occ_codes = remap[codes]
+            occ_mask = occ_codes >= 0
+            if not occ_mask.any():
+                continue
+            n_terms = len(final_uniques)
+            key = doc_idx[occ_mask] * n_terms + occ_codes[occ_mask]
+            uk, counts = np.unique(key, return_counts=True)
+            g_doc = uk // n_terms
+            g_term = uk % n_terms
+            out_frames.append(
                 pd.DataFrame(
                     {
-                        "doc_id": doc_ids.iloc[terms.index].to_numpy(),
+                        "doc_id": doc_ids_all[g_doc],
                         "field": field_name,
-                        "term": terms.to_numpy(),
+                        "term": np.asarray(final_uniques, dtype=object)[g_term],
+                        "tf": counts.astype("int64"),
                     }
                 )
             )
-    if not frames:
+    if not out_frames:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"), "field": [], "term": [], "tf": pd.Series([], dtype="int64")}
         )
-    flat = pd.concat(frames, ignore_index=True)
-    tf = (
-        flat.groupby(["doc_id", "field", "term"], sort=False)
-        .size()
-        .rename("tf")
-        .reset_index()
-    )
-    tf["doc_id"] = tf["doc_id"].astype("int64")
-    tf["tf"] = tf["tf"].astype("int64")
-    return tf
+    return pd.concat(out_frames, ignore_index=True)
 
 
 @dataclass(frozen=True)

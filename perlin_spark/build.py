@@ -149,6 +149,10 @@ class IndexData:
     block_size: int
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
+    #: pre-aggregation df rows (field, term, df) — for persisted indexes a
+    #: small materialized table per epoch, so per-query idf lookups never
+    #: scan the postings table
+    vocab_source: DataFrame | None = None
     _stats_map: dict | None = None
 
     def cache(self) -> "IndexData":
@@ -171,6 +175,27 @@ class IndexData:
                 for r in self.stats.collect()
             }
         return self._stats_map
+
+    def vocab_for_terms(self, terms_df: DataFrame) -> DataFrame:
+        """(field, term, df_g, idf) for the given term rows only — the join
+        with the (broadcast) term list happens BEFORE aggregation, so the
+        per-query scan is a pushdown-filtered read of the small vocab table
+        (or of cached postings for in-memory builds), never a full-index
+        aggregation."""
+        src = self.vocab_source if self.vocab_source is not None else self.postings
+        return (
+            src.join(F.broadcast(terms_df), ["field", "term"])
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df_g"))
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(self.n_docs)) - F.col("df_g") + F.lit(0.5))
+                    / (F.col("df_g") + F.lit(0.5))
+                ),
+            )
+        )
 
     def frequent_terms(self, field: str, k: int | None = None) -> DataFrame:
         """df-descending term iteration (``Filter::commit`` supplement,
@@ -337,15 +362,21 @@ def index_from_merged(
     block_size: int,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    doc_lens: DataFrame | None = None,
+    vocab_source: DataFrame | None = None,
 ) -> IndexData:
     """Assemble an IndexData from a merged postings frame (in-memory build
-    or persisted epochs-union) — vocabulary and stats are derived lazily."""
+    or persisted epochs-union) — vocabulary and stats are derived lazily.
+    Persisted indexes pass materialized ``doc_lens``/``vocab_source`` tables
+    so queries never scan the postings files for them."""
     postings = merged.filter(F.col("term") != DL_MARKER)
-    doc_lens = merged.filter(F.col("term") == DL_MARKER).select(
-        "field", "shard", F.col("df").alias("n_docs"), "blob", "epoch"
-    )
+    if doc_lens is None:
+        doc_lens = merged.filter(F.col("term") == DL_MARKER).select(
+            "field", "shard", F.col("df").alias("n_docs"), "blob", "epoch"
+        )
 
-    vocabulary = postings.groupBy("field", "term").agg(F.sum("df").alias("df")).withColumn(
+    vocab_base = vocab_source if vocab_source is not None else postings
+    vocabulary = vocab_base.groupBy("field", "term").agg(F.sum("df").alias("df")).withColumn(
         "idf",
         F.log(
             F.lit(1.0)
@@ -397,4 +428,5 @@ def index_from_merged(
         block_size=block_size,
         k1=k1,
         b=b,
+        vocab_source=vocab_source,
     )

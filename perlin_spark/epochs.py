@@ -233,7 +233,28 @@ def build_epoch(
             if fail_after_batches is not None and done_batches >= fail_after_batches:
                 raise RuntimeError(f"simulated kill after {done_batches} batches")
 
-    # --- stage 3: commit ------------------------------------------------------
+    # --- stage 3: materialize the small side tables ---------------------------
+    # queries must never scan the postings files for idf or doc lengths
+    all_rows = spark.read.parquet(os.path.join(edir, "postings"))
+    vocab_dir = os.path.join(edir, "vocabulary")
+    if not os.path.exists(os.path.join(vocab_dir, "_SUCCESS")):
+        (
+            all_rows.filter(F.col("term") != DL_MARKER)
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .write.mode("overwrite")
+            .parquet(vocab_dir)
+        )
+    dl_dir = os.path.join(edir, "doc_lens")
+    if not os.path.exists(os.path.join(dl_dir, "_SUCCESS")):
+        (
+            all_rows.filter(F.col("term") == DL_MARKER)
+            .select("field", "shard", F.col("df").alias("n_docs"), "blob")
+            .write.mode("overwrite")
+            .parquet(dl_dir)
+        )
+
+    # --- stage 4: commit ------------------------------------------------------
     manifest["doc_count_total"] = int(manifest["n_docs"])
     manifest["term_count_total"] = sum(
         b.get("term_count", 0) for b in manifest["buckets"].values()
@@ -260,6 +281,8 @@ def load_index(
 
     merged = None
     docs = None
+    doc_lens = None
+    vocab_source = None
     n_docs = 0
     manifest0 = _read_manifest(_epoch_dir(root, epochs[0]))
     if specs is None:
@@ -274,8 +297,14 @@ def load_index(
             .withColumn("epoch", F.lit(e))
         )
         d = spark.read.parquet(os.path.join(edir, "docs"))
+        dl = spark.read.parquet(os.path.join(edir, "doc_lens")).withColumn(
+            "epoch", F.lit(e)
+        )
+        vs = spark.read.parquet(os.path.join(edir, "vocabulary"))
         merged = part if merged is None else merged.unionByName(part)
         docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
+        doc_lens = dl if doc_lens is None else doc_lens.unionByName(dl)
+        vocab_source = vs if vocab_source is None else vocab_source.unionByName(vs)
 
     params = manifest0["params"]
     return index_from_merged(
@@ -286,4 +315,6 @@ def load_index(
         block_size=int(params["block_size"]),
         k1=float(params["k1"]),
         b=float(params["b"]),
+        doc_lens=doc_lens,
+        vocab_source=vocab_source,
     )

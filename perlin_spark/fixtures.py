@@ -81,33 +81,63 @@ _EXTS = {"py": "py", "rs": "rs", "js": "js", "go": "go", "java": "java"}
 _LANGS = list(_EXTS)
 
 
-def synth_code_corpus_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:
-    """Deterministic (repo, path, commit, lang, content) frame."""
-    rng = random.Random(seed)
-    rows = []
-    for i in range(n_rows):
-        lang = _LANGS[i % len(_LANGS)]
-        repo = f"org{i % 7}/repo{i % 23}"
-        path = f"src/mod{i % 11}/file{i}.{_EXTS[lang]}"
-        commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:12]
-        n_tokens = 20 + rng.randrange(120)
-        toks = []
-        for _ in range(n_tokens):
-            r = rng.random()
-            if r < 0.45:  # Zipfian keyword head
-                # sample rank with ~1/rank weight
-                rank = min(int(1.0 / max(rng.random(), 1e-9)), len(_CODE_KEYWORDS)) - 1
-                toks.append(_CODE_KEYWORDS[rank])
-            elif r < 0.70:
-                toks.append(_IDENTIFIERS[rng.randrange(len(_IDENTIFIERS))])
-            elif r < 0.80:
-                toks.append(str(rng.randrange(0, 10_000)))  # number routing
-            elif r < 0.85:
-                toks.append(rng.choice(["==", "->", "&&", "||", "+=", "::<>", "(){};"]))
-            else:
-                toks.append(f"sym_{rng.randrange(2000)}")
-        rows.append((repo, path, commit, lang, " ".join(toks)))
-    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+_OPERATORS = ["==", "->", "&&", "||", "+=", "::<>", "(){};"]
+
+
+def synth_code_corpus_pdf(
+    n_rows: int, seed: int = 42, avg_tokens: int = 120
+) -> pd.DataFrame:
+    """Deterministic (repo, path, commit, lang, content) frame.
+
+    Vectorized with numpy so corpus staging stays cheap at bench scale;
+    token mix per FIXTURES.md §1 (Zipfian keyword head incl. the skew
+    terms, mixed-case + non-ASCII identifiers, u64-routable integers,
+    operators, long-tail symbols)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lengths = (avg_tokens // 6) + rng.integers(0, (avg_tokens * 5) // 3, n_rows)
+    total = int(lengths.sum())
+    r = rng.random(total)
+    # token class per position
+    kw_rank = np.minimum(
+        (1.0 / np.maximum(rng.random(total), 1e-9)).astype(np.int64),
+        len(_CODE_KEYWORDS),
+    ) - 1
+    idents = rng.integers(0, len(_IDENTIFIERS), total)
+    numbers = rng.integers(0, 10_000, total)
+    ops = rng.integers(0, len(_OPERATORS), total)
+    syms = rng.integers(0, 2000, total)
+
+    kw_arr = np.array(_CODE_KEYWORDS, dtype=object)
+    id_arr = np.array(_IDENTIFIERS, dtype=object)
+    op_arr = np.array(_OPERATORS, dtype=object)
+    toks = np.where(
+        r < 0.45, kw_arr[kw_rank],
+        np.where(
+            r < 0.70, id_arr[idents],
+            np.where(
+                r < 0.80, numbers.astype(str).astype(object),
+                np.where(r < 0.85, op_arr[ops],
+                         np.char.add("sym_", syms.astype(str)).astype(object)),
+            ),
+        ),
+    )
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    contents = [" ".join(toks[bounds[i]:bounds[i + 1]]) for i in range(n_rows)]
+
+    i = np.arange(n_rows)
+    langs = [_LANGS[int(x)] for x in i % len(_LANGS)]
+    repos = [f"org{int(x) % 7}/repo{int(x) % 23}" for x in i]
+    paths = [f"src/mod{int(x) % 11}/file{int(x)}.{_EXTS[l]}" for x, l in zip(i, langs)]
+    commits = [
+        hashlib.sha1(f"{rp}:{pt}:{seed}".encode()).hexdigest()[:12]
+        for rp, pt in zip(repos, paths)
+    ]
+    return pd.DataFrame(
+        {"repo": repos, "path": paths, "commit": commits, "lang": langs,
+         "content": contents}
+    )
 
 
 def synth_code_corpus(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:

@@ -469,10 +469,11 @@ def search(
     terms_meta = spark.createDataFrame(terms_pdf)
 
     fields_needed = sorted(set(terms_pdf["field"]))
-    # broadcast only the query terms' vocabulary rows, never the full table
-    vocab_rows = index.vocabulary.join(
-        F.broadcast(terms_meta.select("field", "term").distinct()), ["field", "term"]
-    ).select("field", "term", F.col("df").alias("df_g"), "idf")
+    # broadcast only the query terms' vocabulary rows, never the full table;
+    # vocab_for_terms joins BEFORE aggregating so the scan is pushdown-pruned
+    vocab_rows = index.vocab_for_terms(
+        terms_meta.select("field", "term").distinct()
+    ).select("field", "term", "df_g", "idf")
     matched = (
         index.postings.join(F.broadcast(terms_meta), ["field", "term"])
         .join(F.broadcast(vocab_rows), ["field", "term"])

@@ -1,0 +1,76 @@
+"""Engine feature coverage: numbers-only fields (ToUsize), term_doc_ratio
+weighting, hierarchy query expansion — SURVEY.md §2 items 7, 18, 25."""
+
+import pandas as pd
+import pytest
+
+from perlin_spark import FieldSpec, Hierarchy, PerlinEngine, QueryPipeline
+from perlin_spark.analysis import QuerySpec, analyze_pandas
+
+
+def test_numbers_only_field_tousize():
+    """ToUsize (src/language/integers.rs:56-76): parse-or-drop."""
+    spec = FieldSpec(field="emails", source="emails", numbers_only=True)
+    pdf = pd.DataFrame({"doc_id": [0], "emails": ["42 abc 007 99x 18446744073709551616"]})
+    out = analyze_pandas(pdf, [spec])
+    assert sorted(out["term"]) == ["42", "7"]  # canonical, non-numbers dropped
+
+
+def test_term_doc_ratio_weighting(spark):
+    """weight = idf * 1/term_doc_ratio (src/query/operators.rs:54):
+    a down-weighted field contributes proportionally less score."""
+    corpus = spark.createDataFrame(
+        [(0, "apple", "apple"), (1, "apple", "banana")],
+        "doc_id long, title string, body string",
+    )
+    specs_even = [
+        FieldSpec(field="title", source="title"),
+        FieldSpec(field="body", source="body"),
+    ]
+    specs_skewed = [
+        FieldSpec(field="title", source="title", term_doc_ratio=2.0),
+        FieldSpec(field="body", source="body"),
+    ]
+
+    def scores(specs):
+        eng = PerlinEngine.build(spark, corpus, specs, n_shards=1)
+        q = QuerySpec(groups=(("title", "any", ("apple",)), ("body", "any", ("apple",))))
+        # both-group docs only: doc 0 (title+body), via any-groups intersection
+        rows = eng.search(q, k=10).collect()
+        return {r["doc_id"]: r["score"] for r in rows}
+
+    even, skewed = scores(specs_even), scores(specs_skewed)
+    # doc 0 matches in both fields; halving title weight lowers its score
+    assert skewed[0] < even[0]
+    # body-only contribution unchanged => drop equals half the title part
+    title_part_even = even[0] - skewed[0]
+    assert title_part_even > 0
+
+
+def test_hierarchy_query_expansion(spark):
+    """Hierarchy child expansion (src/field/hierarchy.rs:31-36) used for
+    query expansion: searching a parent term matches child-term docs."""
+    h = Hierarchy(spark)
+    h.add_element("animal")
+    h.add_element("bird", "animal")
+    h.add_element("sparrow", "bird")
+    h.add_element("rock")
+    assert h.get_child_terms("animal") == ["bird"]
+    assert h.get_root_terms() == ["animal", "rock"]
+    assert h.expand(["animal"]) == ["animal", "bird", "sparrow"]
+
+    corpus = spark.createDataFrame(
+        [(0, "sparrow on a branch"), (1, "granite rock"), (2, "a bird sings")],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(spark, corpus, [spec], n_shards=1)
+    expanded = h.expand(["animal"])
+    q = QuerySpec(groups=(("text", "any", tuple(expanded)),))
+    got = sorted(r["doc_id"] for r in eng.search(q, k=10).collect())
+    assert got == [0, 2]
+
+    with pytest.raises(ValueError):
+        h.add_element("bird")  # duplicate
+    with pytest.raises(ValueError):
+        h.add_element("x", "unknown-parent")

@@ -153,6 +153,9 @@ class IndexData:
     #: small materialized table per epoch, so per-query idf lookups never
     #: scan the postings table
     vocab_source: DataFrame | None = None
+    #: term-hash bucket count of a persisted index (postings dirs are
+    #: partitioned by bucket, enabling per-query partition pruning)
+    buckets: int | None = None
     _stats_map: dict | None = None
 
     def cache(self) -> "IndexData":
@@ -239,24 +242,32 @@ def _encode_groups(key_cols: list[str], block_size: int):
 
 
 def _encode_ready(pdf: pd.DataFrame, key_cols: list[str], block_size: int) -> pd.DataFrame:
-    out_rows: dict[str, list] = {c: [] for c in key_cols}
-    dfs, max_tfs, blobs = [], [], []
-    for key, grp in pdf.groupby(key_cols, sort=False):
-        docs = grp["doc_id"].to_numpy(dtype=np.int64)
-        tfs = grp["tf"].to_numpy(dtype=np.int64)
-        order = np.argsort(docs, kind="stable")
-        docs, tfs = docs[order], tfs[order]
-        blob = codec.encode_postings(docs, tfs, block_size=block_size)
-        if not isinstance(key, tuple):
-            key = (key,)
-        for c, v in zip(key_cols, key):
-            out_rows[c].append(v)
-        dfs.append(docs.size)
-        max_tfs.append(int(tfs.max()))
-        blobs.append(blob)
-    out = pd.DataFrame(out_rows)
-    out["df"] = pd.Series(dfs, dtype="int64")
-    out["max_tf"] = pd.Series(max_tfs, dtype="int64")
+    """Encode contiguous (already sorted) groups into blobs.
+
+    Group boundaries are found with one vectorized pass (factorize +
+    change detection) instead of ``pandas.groupby`` — the reduce partitions
+    carry hundreds of thousands of small groups, so per-group overhead is
+    the dominant cost of the whole merge stage."""
+    n = len(pdf)
+    combined = np.zeros(n, dtype=np.int64)
+    for c in key_cols:
+        codes, uniq = pd.factorize(pdf[c].to_numpy())
+        combined = combined * (len(uniq) + 1) + codes
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(combined[1:], combined[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+
+    docs_all = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
+    # input is sorted by (keys..., doc_id) so groups are ascending already
+    blobs = codec.encode_postings_batch(docs_all, tfs_all, starts, ends, block_size)
+    max_tfs = np.maximum.reduceat(tfs_all, starts)
+
+    out = pd.DataFrame({c: pdf[c].to_numpy()[starts] for c in key_cols})
+    out["df"] = (ends - starts).astype("int64")
+    out["max_tf"] = max_tfs.astype("int64")
     out["blob"] = pd.Series(blobs, dtype=object)
     return out
 

@@ -48,11 +48,11 @@ _HEADER_DTYPE = np.dtype(
 _THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+def _varbyte_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode -> (uint8 buffer, per-value byte counts)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += v >= np.uint64(t)
@@ -65,6 +65,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
         out[offsets[mask] + p] = byte.astype(np.uint8) | cont
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+    out, _ = _varbyte_encode_arr(values)
     return out.tobytes()
 
 
@@ -122,6 +128,58 @@ def encode_postings(
         payloads.append(g_buf)
         payloads.append(t_buf)
     return np.uint32(n_blocks).tobytes() + headers.tobytes() + b"".join(payloads)
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[bytes]:
+    """Encode MANY groups at once: one vectorized varbyte pass over the
+    concatenated arrays, then per-group byte slicing.
+
+    ``doc_ids``/``tfs`` are the concatenation of all groups (each group's
+    docs sorted ascending); ``starts``/``ends`` delimit groups.  Groups that
+    span more than one block fall back to :func:`encode_postings`.  This is
+    the hot path of the merge stage — reduce partitions carry 1e5+ tiny
+    groups and per-group numpy scaffolding dominates otherwise.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    counts = ends - starts
+
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[starts] = 0  # first posting of each group is stored as delta 0
+
+    g_buf, g_nbytes = _varbyte_encode_arr(gaps)
+    t_buf, t_nbytes = _varbyte_encode_arr(tfs)
+    g_off = np.concatenate(([0], np.cumsum(g_nbytes)))
+    t_off = np.concatenate(([0], np.cumsum(t_nbytes)))
+    max_tf = np.maximum.reduceat(tfs, starts) if starts.size else np.zeros(0, np.int64)
+
+    one = np.uint32(1).tobytes()
+    g_bytes = g_buf.tobytes()
+    t_bytes = t_buf.tobytes()
+    blobs: list[bytes] = []
+    header = np.zeros(1, dtype=_HEADER_DTYPE)
+    for i in range(starts.size):
+        lo, hi = starts[i], ends[i]
+        n = int(counts[i])
+        if n > block_size:
+            blobs.append(
+                encode_postings(doc_ids[lo:hi], tfs[lo:hi], block_size=block_size)
+            )
+            continue
+        glo, ghi = int(g_off[lo]), int(g_off[hi])
+        tlo, thi = int(t_off[lo]), int(t_off[hi])
+        header[0] = (int(doc_ids[lo]), n, int(max_tf[i]), ghi - glo, thi - tlo)
+        blobs.append(one + header.tobytes() + g_bytes[glo:ghi] + t_bytes[tlo:thi])
+    return blobs
 
 
 def read_headers(blob: bytes) -> np.ndarray:

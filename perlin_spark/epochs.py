@@ -291,10 +291,10 @@ def load_index(
         edir = _epoch_dir(root, e)
         m = _read_manifest(edir)
         n_docs += int(m["n_docs"])
-        part = (
-            spark.read.parquet(os.path.join(edir, "postings"))
-            .drop("bucket")
-            .withColumn("epoch", F.lit(e))
+        # `bucket` is kept: it is the partition column of the postings dirs,
+        # and the query side prunes scans to the query terms' buckets
+        part = spark.read.parquet(os.path.join(edir, "postings")).withColumn(
+            "epoch", F.lit(e)
         )
         d = spark.read.parquet(os.path.join(edir, "docs"))
         dl = spark.read.parquet(os.path.join(edir, "doc_lens")).withColumn(
@@ -307,7 +307,7 @@ def load_index(
         vocab_source = vs if vocab_source is None else vocab_source.unionByName(vs)
 
     params = manifest0["params"]
-    return index_from_merged(
+    idx = index_from_merged(
         spark, specs, merged, docs,
         n_docs=n_docs,
         chunk=int(params["chunk"]),
@@ -318,3 +318,5 @@ def load_index(
         doc_lens=doc_lens,
         vocab_source=vocab_source,
     )
+    idx.buckets = int(params["buckets"])
+    return idx

@@ -474,8 +474,22 @@ def search(
     vocab_rows = index.vocab_for_terms(
         terms_meta.select("field", "term").distinct()
     ).select("field", "term", "df_g", "idf")
+    postings = index.postings
+    if index.buckets:
+        # static partition pruning: a tiny local job computes the query
+        # terms' bucket values (Spark's own murmur3 hash), then the scan
+        # reads only those bucket directories
+        bucket_rows = (
+            spark.createDataFrame(terms_pdf[["field", "term"]].drop_duplicates())
+            .select(F.pmod(F.hash("field", "term"), F.lit(index.buckets)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        postings = postings.filter(
+            F.col("bucket").isin([int(r["b"]) for r in bucket_rows])
+        )
     matched = (
-        index.postings.join(F.broadcast(terms_meta), ["field", "term"])
+        postings.join(F.broadcast(terms_meta), ["field", "term"])
         .join(F.broadcast(vocab_rows), ["field", "term"])
     )
     # postings and doc_lens share lineage (both views of the build output);

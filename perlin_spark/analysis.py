@@ -36,11 +36,17 @@ from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .stemmer import stem_series
 
 U64_MAX_STR = "18446744073709551615"  # 2**64 - 1, the reference's u64 bound
 _ALNUM_PATTERN = r"[^\W_]+"
+#: RE2 equivalent of the Python pattern above: runs of anything that is not
+#: a Unicode letter/number are separators (underscore is neither, so it
+#: separates — same as ``[^\W_]+`` which is "word chars minus underscore")
+_ALNUM_SEP_RE2 = r"[^\p{L}\p{N}]+"
 
 
 @dataclass(frozen=True)
@@ -60,17 +66,35 @@ class FieldSpec:
                                      # (src/language/integers.rs:56-76)
 
 
+def _split_arrow(arr: pa.Array, tokenizer: str) -> pa.Array:
+    """string array -> list<string> token lists, via Arrow C++ kernels.
+
+    The hot path runs on contiguous Arrow buffers (no per-token Python
+    objects) — on bandwidth-constrained hosts this is the difference
+    between scaling with cores and stalling on DRAM.  Semantics are pinned
+    to the Unicode ``White_Space`` property / ``\\p{L}\\p{N}`` classes,
+    matching the reference's Rust ``char::is_whitespace`` /
+    ``char::is_alphanumeric`` (``/root/reference/src/language/mod.rs:27-120``).
+    Empty tokens (split artifacts at string edges) are dropped downstream.
+    """
+    if tokenizer == "whitespace":
+        return pc.utf8_split_whitespace(arr)
+    if tokenizer == "alphanumeric":
+        return pc.split_pattern_regex(arr, pattern=_ALNUM_SEP_RE2)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
 def tokenize(content: pd.Series, tokenizer: str) -> pd.Series:
     """content Series (index = doc position) -> exploded token Series."""
-    s = content.fillna("")
-    if tokenizer == "whitespace":
-        toks = s.str.split()
-    elif tokenizer == "alphanumeric":
-        toks = s.str.findall(_ALNUM_PATTERN)
-    else:
-        raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    exploded = toks.explode()
-    return exploded[exploded.notna()]
+    arr = pa.Array.from_pandas(content.astype(object))
+    lists = _split_arrow(arr, tokenizer)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    toks = flat.to_pandas().astype(object)
+    keep = (toks != "").to_numpy()
+    out = toks[keep]
+    out.index = content.index.to_numpy()[parent[keep]]
+    return out
 
 
 def _is_u64(tokens: pd.Series) -> pd.Series:
@@ -88,12 +112,59 @@ def canonical_u64(tokens: pd.Series) -> pd.Series:
     return canon.mask(canon == "", "0")
 
 
+def route_unique_terms(
+    uniq: pd.Series, spec: FieldSpec
+) -> list[tuple[str, np.ndarray, pd.Series]]:
+    """Run one field's normalization chain over the UNIQUE terms only.
+
+    Returns ``[(field_name, bool-mask over uniq, normalized terms), ...]``.
+    Zipfian text makes uniques ~1000x smaller than occurrences, so every
+    per-string stage (lowercase, stem, stopwords, u64 routing) is off the
+    hot path.  Tokens that are empty (tokenizer split artifacts) or contain
+    NUL are dropped here — NUL would collide with the reserved doc-length
+    pseudo-term (see ``build.DL_MARKER``), so it is reserved, loudly."""
+    n = len(uniq)
+    valid = np.ones(n, dtype=bool)
+    if n:
+        bad = (
+            uniq.str.contains("\x00", regex=False).fillna(False).to_numpy()
+            | (uniq == "").to_numpy()
+        )
+        valid &= ~bad
+    out: list[tuple[str, np.ndarray, pd.Series]] = []
+    if spec.numbers_only:
+        num = (_is_u64(uniq).to_numpy() if n else valid.copy()) & valid
+        kept = uniq[num]
+        out.append((spec.field, num, canonical_u64(kept) if len(kept) else kept))
+        return out
+    remaining = valid
+    if spec.number_field is not None and n:
+        num = _is_u64(uniq).to_numpy() & valid
+        if num.any():
+            out.append((spec.number_field, num, canonical_u64(uniq[num])))
+        remaining = remaining & ~num
+    terms = uniq[remaining]
+    if spec.lowercase:
+        terms = terms.str.lower()
+    if spec.stopwords and len(terms):
+        keep = ~terms.isin(set(spec.stopwords)).to_numpy()
+        mask = remaining.copy()
+        mask[np.flatnonzero(remaining)[~keep]] = False
+        remaining, terms = mask, terms[keep]
+    if spec.stem and len(terms):
+        terms = stem_series(terms)
+    out.append((spec.field, remaining, terms))
+    return out
+
+
 def apply_field_pipeline(tokens: pd.Series, spec: FieldSpec) -> list[tuple[str, pd.Series]]:
     """Run one field's chain over an exploded token Series.
 
     Returns ``[(field_name, term_series), ...]`` — more than one entry when
     the NumberFilter tees tokens into a numeric field.
     """
+    if len(tokens):
+        tokens = tokens[~tokens.str.contains("\x00", regex=False).fillna(False)]
     out: list[tuple[str, pd.Series]] = []
     if spec.numbers_only:
         # ToUsize semantics: parse as unsigned int, silently drop the rest
@@ -166,33 +237,7 @@ def analyze_pandas(pdf: pd.DataFrame, specs: list[FieldSpec], doc_id_col: str = 
         codes, uniques = pd.factorize(flat_tokens)
         uniq = pd.Series(uniques, dtype=object)
 
-        # --- per-unique normalization chain ------------------------------
-        routed: list[tuple[str, np.ndarray, pd.Series]] = []  # (field, mask, terms)
-        if spec.numbers_only:
-            num_mask = _is_u64(uniq).to_numpy()
-            routed.append((spec.field, num_mask, canonical_u64(uniq[num_mask])))
-        else:
-            remaining = np.ones(len(uniq), dtype=bool)
-            if spec.number_field is not None:
-                num_mask = _is_u64(uniq).to_numpy()
-                if num_mask.any():
-                    routed.append(
-                        (spec.number_field, num_mask, canonical_u64(uniq[num_mask]))
-                    )
-                remaining &= ~num_mask
-            terms = uniq[remaining]
-            if spec.lowercase:
-                terms = terms.str.lower()
-            if spec.stopwords and len(terms):
-                keep = ~terms.isin(set(spec.stopwords)).to_numpy()
-                mask = remaining.copy()
-                mask[np.flatnonzero(remaining)[~keep]] = False
-                remaining, terms = mask, terms[keep]
-            if spec.stem and len(terms):
-                terms = stem_series(terms)
-            routed.append((spec.field, remaining, terms))
-
-        for field_name, mask, final_terms in routed:
+        for field_name, mask, final_terms in route_unique_terms(uniq, spec):
             if not mask.any():
                 continue
             # remap occurrence codes -> compact per-field term ids
@@ -225,6 +270,59 @@ def analyze_pandas(pdf: pd.DataFrame, specs: list[FieldSpec], doc_id_col: str = 
             {"doc_id": pd.Series([], dtype="int64"), "field": [], "term": [], "tf": pd.Series([], dtype="int64")}
         )
     return pd.concat(out_frames, ignore_index=True)
+
+
+def analyze_record_batch(
+    batch: pa.RecordBatch, specs: list[FieldSpec], doc_id_col: str = "doc_id"
+) -> list[tuple[str, np.ndarray, pa.Array, np.ndarray]]:
+    """One Arrow corpus batch -> aggregated tf triples per output field.
+
+    Returns ``[(field_name, doc_pos, terms, tf), ...]`` where ``doc_pos``
+    indexes rows of ``batch`` (the caller maps positions to doc ids and
+    derives per-(doc, field) lengths with one ``np.bincount``).
+
+    This is the build hot path: tokenization (:func:`_split_arrow`),
+    flatten/parent-index bookkeeping, and occurrence dictionary-encoding
+    all run inside Arrow C++ over contiguous buffers; Python only ever
+    touches the (tiny) unique-term vector via :func:`route_unique_terms`
+    and fixed-width numpy int arrays.  No per-occurrence Python objects —
+    the contract of BASELINE.json ``input_hint`` and the reason the build
+    scales with cores instead of stalling on memory bandwidth.
+    """
+    names = set(batch.schema.names)
+    out: list[tuple[str, np.ndarray, pa.Array, np.ndarray]] = []
+    for spec in specs:
+        if spec.source not in names:
+            continue
+        lists = _split_arrow(batch.column(spec.source), spec.tokenizer)
+        flat = pc.list_flatten(lists)
+        if len(flat) == 0:
+            continue
+        doc_pos_all = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        uniq = pd.Series(denc.dictionary.to_pandas(), dtype=object)
+
+        for field_name, mask, final_terms in route_unique_terms(uniq, spec):
+            if not mask.any():
+                continue
+            # remap occurrence codes -> compact per-field term ids; identical
+            # normalized terms share one id so tf merges across raw spellings
+            final_codes, final_uniques = pd.factorize(final_terms.to_numpy())
+            remap = np.full(len(uniq), -1, dtype=np.int64)
+            remap[np.flatnonzero(mask)] = final_codes
+            occ_codes = remap[codes]
+            occ_mask = occ_codes >= 0
+            if not occ_mask.any():
+                continue
+            n_terms = len(final_uniques)
+            key = doc_pos_all[occ_mask] * n_terms + occ_codes[occ_mask]
+            uk, counts = np.unique(key, return_counts=True)
+            terms_arr = pc.take(
+                pa.array(final_uniques, type=pa.string()), pa.array(uk % n_terms)
+            )
+            out.append((field_name, uk // n_terms, terms_arr, counts.astype(np.int64)))
+    return out
 
 
 @dataclass(frozen=True)

@@ -182,6 +182,90 @@ def encode_postings_batch(
     return blobs
 
 
+def encode_postings_column(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode MANY groups into one concatenated buffer: fully vectorized.
+
+    Returns ``(values, offsets)`` — ``values`` is every group's blob
+    back-to-back (uint8) and ``offsets`` (int64, len n_groups+1) delimits
+    them, i.e. exactly the layout of an Arrow binary column.  Unlike
+    :func:`encode_postings_batch` there is NO per-group Python loop: block
+    decomposition, header packing, and payload placement are all numpy
+    index arithmetic + two byte scatters.  The per-group loop was ~13 us x
+    millions of groups — the single hottest cost of the whole index build.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_groups = starts.size
+    if n_groups == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    counts = ends - starts
+
+    # --- block decomposition (a group spans ceil(count / block_size) blocks)
+    nb = (counts + block_size - 1) // block_size
+    nb_total = int(nb.sum())
+    first_block = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    g_of_block = np.repeat(np.arange(n_groups, dtype=np.int64), nb)
+    b_in_g = np.arange(nb_total, dtype=np.int64) - first_block[g_of_block]
+    block_start = starts[g_of_block] + b_in_g * block_size
+    block_end = np.minimum(block_start + block_size, ends[g_of_block])
+    bcount = block_end - block_start
+
+    # --- varbyte payloads over the full concatenation (one pass each)
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[block_start] = 0  # every block's first posting is stored as delta 0
+    g_buf, g_nbytes = _varbyte_encode_arr(gaps)
+    t_buf, t_nbytes = _varbyte_encode_arr(tfs)
+    g_off = np.concatenate(([0], np.cumsum(g_nbytes)))
+    t_off = np.concatenate(([0], np.cumsum(t_nbytes)))
+    gl_b = g_off[block_end] - g_off[block_start]
+    tl_b = t_off[block_end] - t_off[block_start]
+
+    # --- output layout
+    pay_b = gl_b + tl_b
+    pay_g = np.add.reduceat(pay_b, first_block)
+    blob_len = 4 + _HEADER_DTYPE.itemsize * nb + pay_g
+    offsets = np.concatenate(([0], np.cumsum(blob_len)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+
+    # n_blocks (u32) at each blob start
+    nb_bytes = nb.astype("<u4").view(np.uint8).reshape(n_groups, 4)
+    dest = offsets[:-1, None] + np.arange(4)
+    out[dest.ravel()] = nb_bytes.ravel()
+
+    # fixed-size headers, packed once and scattered
+    headers = np.zeros(nb_total, dtype=_HEADER_DTYPE)
+    headers["first_doc"] = doc_ids[block_start]
+    headers["count"] = bcount
+    headers["max_tf"] = np.maximum.reduceat(tfs, block_start)
+    headers["gaps_len"] = gl_b
+    headers["tfs_len"] = tl_b
+    hsize = _HEADER_DTYPE.itemsize
+    hdr_dest = offsets[g_of_block] + 4 + hsize * b_in_g
+    dest = hdr_dest[:, None] + np.arange(hsize)
+    out[dest.ravel()] = headers.view(np.uint8).reshape(nb_total, hsize).ravel()
+
+    # payload placement: per block, [gaps][tfs], blocks in order per group
+    pay_area = offsets[:-1] + 4 + hsize * nb
+    pay_cum = np.concatenate(([0], np.cumsum(pay_b)[:-1]))
+    pay_before = pay_cum - pay_cum[first_block[g_of_block]]
+    gap_dest_b = pay_area[g_of_block] + pay_before
+    tf_dest_b = gap_dest_b + gl_b
+    # every byte of g_buf/t_buf belongs to exactly one block (blocks tile
+    # the input), so a per-block shift expanded per byte places them all
+    out[np.arange(g_buf.size) + np.repeat(gap_dest_b - g_off[block_start], gl_b)] = g_buf
+    out[np.arange(t_buf.size) + np.repeat(tf_dest_b - t_off[block_start], tl_b)] = t_buf
+    return out, offsets
+
+
 def read_headers(blob: bytes) -> np.ndarray:
     """Return the structured block-header array without decoding payloads."""
     n_blocks = int(np.frombuffer(blob[:4], dtype=np.uint32)[0])

@@ -16,13 +16,17 @@ Layout::
         _EPOCH_SUCCESS
 
 Resume contract: ``build_epoch`` is idempotent.  The docs table is written
-first (freezing doc-id assignment); postings buckets are merged in batches,
-each batch followed by a manifest flush recording the completed buckets'
-row/doc/term counts.  A killed job re-run with the same arguments skips
-completed buckets and merges only the missing ones — tokenization is
-re-run only for the pending buckets' terms (a filter on the bucket hash),
-never re-shuffling completed ones.  Determinism holds because doc ids come
-from the frozen docs table and the bucket/salt functions are pure.
+first (freezing doc-id assignment); the tokenized stream is then staged
+ONCE to ``staging/`` parquet partitioned by bucket (when more than one
+bucket batch will run), and postings buckets are merged in batches off the
+staged data — each batch is a partition-pruned read, never a re-tokenize
+of the corpus.  Each batch ends with a manifest flush recording the
+completed buckets' row/doc/term counts; a killed job re-run with the same
+root skips completed buckets and merges only the missing ones.  On resume
+the manifest's recorded params override the call arguments (bucket modulus
+and shard chunk are baked into the written layout).  Determinism holds
+because doc ids come from the frozen docs table and the bucket/salt
+functions are pure.  Staging is deleted at commit.
 
 Multi-epoch reads: ``load_index`` unions all committed epochs; doc-id
 ranges never overlap across epochs (each epoch's ids start above the
@@ -46,11 +50,12 @@ from .build import (
     DEFAULT_BUCKETS,
     DL_MARKER,
     K1_DEFAULT,
-    POSTINGS_SCHEMA,
     IndexData,
-    _encode_groups,
     assign_doc_ids,
+    field_name_expr,
+    field_names,
     index_from_merged,
+    merge_flat,
     tokenize_corpus,
 )
 
@@ -100,16 +105,26 @@ def build_epoch(
     doc_id_col: str | None = "doc_id",
     order_cols: list[str] | None = None,
     content_col: str | None = None,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     buckets: int = DEFAULT_BUCKETS,
     bucket_batches: int = 4,
     block_size: int = codec.BLOCK_SIZE,
     num_partitions: int | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    extra_manifest: dict | None = None,
     fail_after_batches: int | None = None,  # test hook: simulate a kill
 ) -> int:
-    """Build (or resume) one persisted epoch; returns the epoch id."""
+    """Build (or resume) one persisted epoch; returns the epoch id.
+
+    Resume safety: once an epoch's manifest exists, its recorded params
+    (buckets, n_shards, chunk, block size) override the call arguments —
+    a resume with different knobs would otherwise write postings under a
+    different bucket modulus than query-time pruning uses, silently
+    dropping matches.  ``extra_manifest`` entries (e.g. the streaming
+    sink's ``stream_batch_id``) land in the manifest BEFORE the
+    ``_EPOCH_SUCCESS`` marker, closing the crash window between commit
+    and stamp."""
     committed = list_epochs(root)
     if epoch is None:
         # resume an uncommitted epoch if one exists, else start the next
@@ -139,16 +154,19 @@ def build_epoch(
                 f"doc_id_col {doc_id_col!r} not in corpus; pass doc_id_col=None "
                 "with order_cols to assign ids"
             )
+        track: list = []
         if doc_id_col is None:
             if not order_cols:
                 raise ValueError("need order_cols to assign doc ids")
-            staged = assign_doc_ids(staged, order_cols, num_partitions)
+            staged = assign_doc_ids(staged, order_cols, num_partitions, _track=track)
             staged = staged.withColumn("doc_id", F.col("doc_id") + F.lit(base_doc_id))
         elif doc_id_col != "doc_id":
             staged = staged.withColumnRenamed(doc_id_col, "doc_id")
         if content_col is not None:
             staged = staged.withColumn("sha256", F.sha2(F.col(content_col), 256))
         staged.write.mode("overwrite").parquet(docs_dir)
+        for df in track:  # range-partition cache only backs the write above
+            df.unpersist()
 
     docs = spark.read.parquet(docs_dir)
     if manifest is None:
@@ -159,6 +177,10 @@ def build_epoch(
         n_docs = int(bounds["n"] or 0)
         max_id = int(bounds["mx"]) if bounds["mx"] is not None else -1
         min_id = int(bounds["mn"]) if bounds["mn"] is not None else 0
+        if n_shards is None:
+            from .build import auto_n_shards
+
+            n_shards = auto_n_shards(max_id - min_id + 1)
         chunk = max(1, math.ceil((max_id - min_id + 1) / n_shards))
         manifest = {
             "epoch": epoch,
@@ -172,33 +194,61 @@ def build_epoch(
             "max_doc_id": max_id,
             "buckets": {str(i): {"status": "pending"} for i in range(buckets)},
         }
+        if extra_manifest:
+            manifest.update(extra_manifest)
         _write_manifest(edir, manifest)
+    elif extra_manifest:
+        manifest.update(extra_manifest)
+        _write_manifest(edir, manifest)
+    # resume contract: the manifest's params win over call arguments — the
+    # bucket modulus and shard chunk are baked into the already-written
+    # partition layout (ADVICE r1: a different --buckets on resume would
+    # desync query-time pruning from the files)
     params = manifest["params"]
     chunk, min_id = int(params["chunk"]), int(params["min_doc_id"])
+    buckets = int(params["buckets"])
+    block_size = int(params["block_size"])
+    fields = field_names(specs)
 
     # --- stage 2: bucketed merge (the resume unit) ---------------------------
     pending = [i for i in range(buckets) if manifest["buckets"][str(i)]["status"] != "done"]
     if pending:
-        flat = tokenize_corpus(docs, specs).withColumn(
-            "shard", F.expr(f"(doc_id - {min_id}) div {chunk}")
-        ).withColumn("bucket", F.pmod(F.hash("field", "term"), F.lit(buckets)))
         shuffle_parts = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
         per_batch = max(1, math.ceil(len(pending) / bucket_batches))
+        n_batches = math.ceil(len(pending) / per_batch)
+        bucket_col = F.pmod(F.hash(field_name_expr(fields), F.col("term")), F.lit(buckets))
+        if n_batches > 1:
+            # stage the tokenized stream ONCE, partitioned by bucket, so each
+            # bucket batch is a partition-pruned parquet read — never a
+            # re-tokenize of the full corpus (r1 did bucket_batches full
+            # tokenize passes; 4x wasted I/O at scale)
+            sdir = os.path.join(edir, "staging")
+            if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+                (
+                    tokenize_corpus(docs, specs)
+                    .withColumn("shard", F.expr(f"(doc_id - {min_id}) div {chunk}"))
+                    .withColumn("bucket", bucket_col)
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(sdir)
+                )
+            flat = spark.read.parquet(sdir)
+        else:
+            # single batch: stream tokenize -> merge directly (no staging I/O)
+            flat = (
+                tokenize_corpus(docs, specs)
+                .withColumn("shard", F.expr(f"(doc_id - {min_id}) div {chunk}"))
+                .withColumn("bucket", bucket_col)
+            )
         done_batches = 0
         for i in range(0, len(pending), per_batch):
             batch = pending[i : i + per_batch]
-            part = (
-                flat.filter(F.col("bucket").isin(batch))
-                .repartition(shuffle_parts, "field", "term", "shard")
-                .sortWithinPartitions("field", "term", "shard", "doc_id")
-                .mapInPandas(
-                    _encode_groups(["field", "term", "shard"], int(params["block_size"])),
-                    POSTINGS_SCHEMA,
-                )
-                .withColumn("bucket", F.pmod(F.hash("field", "term"), F.lit(buckets)))
-            )
+            part = merge_flat(
+                flat.filter(F.col("bucket").isin(batch)).drop("bucket"),
+                fields, shuffle_parts, block_size,
+            ).withColumn("bucket", F.pmod(F.hash("field", "term"), F.lit(buckets)))
             (
                 part.write.mode("overwrite")
                 .format("parquet")
@@ -260,9 +310,17 @@ def build_epoch(
         b.get("term_count", 0) for b in manifest["buckets"].values()
     )
     manifest["committed_unix"] = int(time.time())
+    if extra_manifest:
+        manifest.update(extra_manifest)
     _write_manifest(edir, manifest)
     with open(os.path.join(edir, SUCCESS), "w") as f:
         f.write("ok\n")
+    # staging served its purpose (resume unit is committed); reclaim disk
+    sdir = os.path.join(edir, "staging")
+    if os.path.isdir(sdir):
+        import shutil
+
+        shutil.rmtree(sdir, ignore_errors=True)
     return epoch
 
 

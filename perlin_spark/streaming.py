@@ -14,13 +14,10 @@ recorded in the manifest, so a replayed micro-batch overwrites its own
 
 from __future__ import annotations
 
-import json
-import os
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 from .analysis import FieldSpec
-from .epochs import SUCCESS, _epoch_dir, _read_manifest, build_epoch, list_epochs
+from .epochs import _epoch_dir, _read_manifest, build_epoch, list_epochs
 
 
 def epoch_sink(
@@ -51,7 +48,11 @@ def epoch_sink(
             m = _read_manifest(_epoch_dir(root, e))
             if m and m.get("stream_batch_id") == batch_id:
                 return
-        epoch = build_epoch(
+        # the stream batch id rides the manifest itself (written atomically,
+        # and present BEFORE _EPOCH_SUCCESS) — no post-commit stamp, so
+        # there is no crash window in which a committed epoch lacks its
+        # replay marker and a replayed micro-batch double-builds
+        build_epoch(
             batch_df.sparkSession,
             batch_df,
             specs,
@@ -61,12 +62,7 @@ def epoch_sink(
             content_col=content_col,
             n_shards=n_shards,
             buckets=buckets,
+            extra_manifest={"stream_batch_id": batch_id},
         )
-        # stamp the manifest with the stream batch id for replay detection
-        edir = _epoch_dir(root, epoch)
-        m = _read_manifest(edir)
-        m["stream_batch_id"] = batch_id
-        with open(os.path.join(edir, "manifest.json"), "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
 
     return sink

@@ -56,6 +56,31 @@ def test_strictly_increasing_enforced():
         codec.encode_postings(np.array([3, 3]), np.array([1, 1]))
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=130),
+)
+@settings(max_examples=50, deadline=None)
+def test_column_encode_equals_per_group(groups, block_size):
+    docs_parts = [np.sort(np.array(g, dtype=np.int64)) for g in groups]
+    tfs_parts = [(d % 31) + 1 for d in docs_parts]
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tfs_parts)
+    lens = np.array([d.size for d in docs_parts])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = np.cumsum(lens)
+    values, offsets = codec.encode_postings_column(docs, tfs, starts, ends, block_size)
+    assert int(offsets[-1]) == values.size
+    buf = values.tobytes()
+    for i, (d, t) in enumerate(zip(docs_parts, tfs_parts)):
+        blob = buf[offsets[i] : offsets[i + 1]]
+        assert blob == codec.encode_postings(d, t, block_size=block_size)
+
+
 def test_merge_blobs_equals_single_encode():
     docs = np.arange(0, 1000, 3, dtype=np.int64)
     tfs = np.ones_like(docs)

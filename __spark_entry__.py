@@ -213,16 +213,73 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
-# non-SQL-expressible ops -> rows-only checks (weaker, by design)
+ANN_LSH_PLANES = 6  # pinned for the driver oracle (64 buckets at sf0.01)
+
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return similarity.lsh_cosine_topk(emb, list(qv), k=10, exclude_id=0)
+    return similarity.lsh_cosine_topk(
+        emb, list(qv), k=10, exclude_id=0, n_planes=ANN_LSH_PLANES, probe_hamming=1
+    )
 
 
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12)
+    # radius 3: the pigeonhole tables (4 x 15-bit blocks) guarantee full
+    # recall, so the result EQUALS the exact hamming self-join the oracle runs
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# --- code-corpus pipeline (BASELINE.json input_hint analyzers), driver-gated --
+
+CODE_DOC_SPEC = FieldSpec(
+    field="content", source="text", tokenizer="alphanumeric",
+    lowercase=True, number_field="number",
+)
+
+
+def _code_engine(spark: SparkSession, sf_dir: str) -> PerlinEngine:
+    key = f"code:{sf_dir}"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        # the documents corpus has no digits; derive deterministic numeric
+        # tokens ("<id>" and "0<id>") so u64 routing + canonicalization get
+        # real work — the oracle applies the identical concatenation
+        docs = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.col("doc_id").cast("string"),
+                F.concat(F.lit("0"), F.col("doc_id").cast("string")),
+            ),
+        )
+        eng = PerlinEngine.build(
+            spark, docs, [CODE_DOC_SPEC],
+            pipeline=QueryPipeline(
+                text_spec=CODE_DOC_SPEC, text_combinator="all", number_combinator="any"
+            ),
+            n_shards=4,
+        ).cache()
+        _ENGINES[key] = eng
+    return eng
+
+
+def q_code_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(field, term, df) under the code pipeline — gates the alphanumeric
+    tokenizer + lowercase + u64 canonical routing end-to-end."""
+    eng = _code_engine(spark, sf_dir)
+    return eng.index.vocabulary.select("field", "term", "df")
+
+
+def q_code_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _score_x1e4(_code_engine(spark, sf_dir).search("hash join", k=10))
+
+
+def q_code_must_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with a Must filter on the routed number field."""
+    eng = _code_engine(spark, sf_dir)
+    return _score_x1e4(eng.search("merge", k=10, filters=[Must("number", "42")]))
 
 
 def q_golden_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,10 +336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_langid,
         "text_subword_counts": q_subword_counts,
         "text_fingerprint": q_fingerprint,
-        # rows-only (approximate / engine-internal):
         "ann_lsh_topk": q_ann_lsh,
         "dedup_simhash_near": q_simhash_near,
         "golden_reference_suite": q_golden_reference,
+        "ft_code_vocabulary": q_code_vocabulary,
+        "ft_code_bm25_topk": q_code_bm25,
+        "ft_code_must_number": q_code_must_number,
     }
 
 
@@ -335,6 +394,112 @@ sc AS (
   GROUP BY 1)
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# code-pipeline tokenization CTEs: MUST match CODE_DOC_SPEC (alphanumeric
+# tokenizer via RE2 letter/number classes, lowercase, u64 canonical routing)
+_TOK_CODE = r"""
+ctok AS (
+  SELECT doc_id, t.tok FROM documents,
+       unnest(regexp_extract_all(text || ' ' || doc_id || ' 0' || doc_id,
+                                 '[\p{L}\p{N}]+')) AS t(tok)
+),
+crouted AS (
+  SELECT doc_id,
+         CASE WHEN is_num THEN 'number' ELSE 'content' END AS field,
+         CASE WHEN is_num THEN canon ELSE lower(tok) END AS term
+  FROM (
+    SELECT doc_id, tok,
+           coalesce(nullif(ltrim(tok, '0'), ''), '0') AS canon,
+           regexp_full_match(tok, '[0-9]+')
+             AND (length(ltrim(tok, '0')) < 20
+                  OR (length(ltrim(tok, '0')) = 20
+                      AND ltrim(tok, '0') <= '18446744073709551615')) AS is_num
+    FROM ctok)
+),
+ctf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM crouted GROUP BY 1,2,3),
+cdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM ctf WHERE field = 'content' GROUP BY 1),
+cst AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+               (SELECT avg(dl) FROM cdl)::DOUBLE AS avgdl)
+"""
+
+
+def _bm25_code_oracle(terms: list[str], k: int = 10,
+                      must_number: str | None = None) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    must_sql = ""
+    if must_number is not None:
+        must_sql = f"""
+  AND doc_id IN (SELECT doc_id FROM ctf WHERE field = 'number' AND term = '{must_number}')"""
+    return f"""
+WITH {_TOK_CODE},
+qt AS (SELECT unnest([{tlist}]) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df
+        FROM ctf JOIN qt USING (term) WHERE field = 'content' GROUP BY 1),
+cand AS (SELECT doc_id FROM ctf JOIN qt USING (term) WHERE field = 'content'
+         GROUP BY doc_id HAVING count(DISTINCT term) = (SELECT count(DISTINCT term) FROM qt)),
+cand2 AS (SELECT doc_id FROM cand WHERE TRUE {must_sql}),
+sc AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM cst) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM cst)))) AS score
+  FROM ctf m JOIN qdf q USING (term) JOIN cdl d USING (doc_id)
+  WHERE m.field = 'content' AND m.doc_id IN (SELECT doc_id FROM cand2)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _ann_lsh_oracle(dim: int = 64, k: int = 10) -> str:
+    """Replicates lsh_cosine_topk: the hyperplanes are seeded constants,
+    inlined as literals; multiprobe = query bucket + hamming-1 neighbors."""
+    planes = similarity._hyperplanes(dim, ANN_LSH_PLANES, similarity.LSH_SEED)
+
+    def bucket_expr(col: str) -> str:
+        parts = []
+        for i in range(ANN_LSH_PLANES):
+            lits = ", ".join(repr(float(x)) for x in planes[i])
+            parts.append(
+                f"(CASE WHEN list_inner_product({col}, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    flips = ", ".join(f"({1 << i})" for i in range(ANN_LSH_PLANES))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket_expr("(SELECT qv FROM q)")} AS b),
+probes AS (SELECT (SELECT b FROM qb) AS pb
+           UNION ALL
+           SELECT xor((SELECT b FROM qb), v) FROM (VALUES {flips}) t(v)),
+be AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
+bb AS (SELECT vec_id, e, {bucket_expr("e")} AS b FROM be),
+c AS (SELECT vec_id, list_cosine_similarity(e, (SELECT qv FROM q)) AS cos
+      FROM bb WHERE b IN (SELECT pb FROM probes))
+SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM c ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
+def _golden_oracle() -> str:
+    """Expected-constant oracle: the engine must reproduce the reference's
+    golden expectations (adjusted per FIXTURES.md for the two documented
+    reference-internal inconsistencies)."""
+    from perlin_spark.fixtures import GOLDEN_QUERIES
+
+    rows = []
+    for qid, (pipeline, qstr, expected, gating) in enumerate(GOLDEN_QUERIES):
+        ids = ",".join(str(d) for d in expected)
+        rows.append(
+            f"(CAST({qid} AS BIGINT), '{qstr}', TRUE, '{ids}')"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+  {values}
+) AS t(query_id, query, matches, doc_ids)
 """
 
 
@@ -491,6 +656,30 @@ sh AS (
 SELECT doc_id,
        list_min(list_transform(shs, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS fingerprint
 FROM sh""",
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "dedup_simhash_near": f"""
+WITH {_TOK},
+h AS (SELECT doc_id, term, tf,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tfv),
+bits AS (
+  SELECT doc_id, g.i, sum(tf * (2 * ((h >> g.i) & 1) - 1)) AS s
+  FROM h, unnest(generate_series(0, 59)) AS g(i)
+  GROUP BY 1, 2),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "golden_reference_suite": _golden_oracle(),
+        "ft_code_vocabulary": f"""
+WITH {_TOK_CODE}
+SELECT field, term, count(DISTINCT doc_id)::BIGINT AS df
+FROM crouted GROUP BY 1, 2""",
+        "ft_code_bm25_topk": _bm25_code_oracle(["hash", "join"]),
+        "ft_code_must_number": _bm25_code_oracle(["merge"], must_number="42"),
     }
 
 

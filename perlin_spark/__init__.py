@@ -11,7 +11,7 @@ the relational work and the data-level algorithms stay vectorized.
 from .analysis import FieldSpec, QueryPipeline, QuerySpec
 from .build import IndexData, assign_doc_ids, build_index
 from .engine import May, Must, MustNot, PerlinEngine
-from .epochs import build_epoch, list_epochs, load_index
+from .epochs import add_field, build_epoch, list_epochs, load_index
 from .hierarchy import Hierarchy
 
 __all__ = [
@@ -26,6 +26,7 @@ __all__ = [
     "MustNot",
     "May",
     "Hierarchy",
+    "add_field",
     "build_epoch",
     "list_epochs",
     "load_index",

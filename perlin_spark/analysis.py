@@ -31,8 +31,7 @@ SURVEY.md §2.3 #31.
 
 from __future__ import annotations
 
-import re
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -188,83 +187,28 @@ def apply_field_pipeline(tokens: pd.Series, spec: FieldSpec) -> list[tuple[str, 
     return out
 
 
-_ALNUM_RE = re.compile(_ALNUM_PATTERN)
-
-
-def _tokenize_lists(contents, tokenizer: str) -> list[list[str]]:
-    if tokenizer == "whitespace":
-        return [s.split() if isinstance(s, str) else [] for s in contents]
-    if tokenizer == "alphanumeric":
-        findall = _ALNUM_RE.findall
-        return [findall(s) if isinstance(s, str) else [] for s in contents]
-    raise ValueError(f"unknown tokenizer {tokenizer!r}")
-
-
 def analyze_pandas(pdf: pd.DataFrame, specs: list[FieldSpec], doc_id_col: str = "doc_id") -> pd.DataFrame:
     """One corpus batch -> tf rows ``(doc_id, field, term, tf)``.
 
-    tf is complete per doc because a document's content lives in one row
-    (so one batch) — this is the map-side combine of the build (SURVEY.md
-    §3.1 Spark lifecycle).
-
-    Hot-path design: token streams are **dictionary-encoded first**
-    (``pd.factorize``, one C hash pass), then every normalization stage
-    (lowercase, stem, stopwords, u64 routing) runs over the *unique* terms
-    only — Zipfian text makes uniques ~1000x smaller than occurrences —
-    and tf comes from an integer ``np.unique`` over packed (doc, term)
-    keys.  No per-occurrence Python objects are ever created beyond the
-    initial tokenizer output.
+    Thin pandas adapter over :func:`analyze_record_batch` — ONE semantic
+    source for tokenization/normalization, so tests exercising this
+    function gate exactly the code the distributed build runs.
     """
     pdf = pdf.reset_index(drop=True)
-    out_frames: list[pd.DataFrame] = []
+    batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
     doc_ids_all = pdf[doc_id_col].to_numpy(dtype="int64")
-    for spec in specs:
-        if spec.source not in pdf.columns:
-            continue
-        lists = _tokenize_lists(pdf[spec.source], spec.tokenizer)
-        lens = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
-        total = int(lens.sum())
-        if total == 0:
-            continue
-        flat_tokens = np.empty(total, dtype=object)
-        pos = 0
-        for l in lists:
-            n = len(l)
-            flat_tokens[pos:pos + n] = l
-            pos += n
-        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
-
-        codes, uniques = pd.factorize(flat_tokens)
-        uniq = pd.Series(uniques, dtype=object)
-
-        for field_name, mask, final_terms in route_unique_terms(uniq, spec):
-            if not mask.any():
-                continue
-            # remap occurrence codes -> compact per-field term ids
-            remap = np.full(len(uniq), -1, dtype=np.int64)
-            sel = np.flatnonzero(mask)
-            # identical normalized terms must share one id (tf merges)
-            final_codes, final_uniques = pd.factorize(final_terms.to_numpy())
-            remap[sel] = final_codes
-            occ_codes = remap[codes]
-            occ_mask = occ_codes >= 0
-            if not occ_mask.any():
-                continue
-            n_terms = len(final_uniques)
-            key = doc_idx[occ_mask] * n_terms + occ_codes[occ_mask]
-            uk, counts = np.unique(key, return_counts=True)
-            g_doc = uk // n_terms
-            g_term = uk % n_terms
-            out_frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": doc_ids_all[g_doc],
-                        "field": field_name,
-                        "term": np.asarray(final_uniques, dtype=object)[g_term],
-                        "tf": counts.astype("int64"),
-                    }
-                )
+    out_frames: list[pd.DataFrame] = []
+    for field_name, doc_pos, terms, tfs in analyze_record_batch(batch, specs, doc_id_col):
+        out_frames.append(
+            pd.DataFrame(
+                {
+                    "doc_id": doc_ids_all[doc_pos],
+                    "field": field_name,
+                    "term": terms.to_pandas().astype(object),
+                    "tf": tfs.astype("int64"),
+                }
             )
+        )
     if not out_frames:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"), "field": [], "term": [], "tf": pd.Series([], dtype="int64")}

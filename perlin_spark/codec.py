@@ -311,6 +311,25 @@ def decode_block_count(blob: bytes) -> int:
     return int(read_headers(blob)["count"].sum())
 
 
+def splice_blobs(blobs: list[bytes]) -> bytes:
+    """Concatenate blobs whose doc ranges are DISJOINT and given in
+    ascending order, WITHOUT decoding: block headers carry absolute
+    ``first_doc`` and per-block payload lengths, so the merged blob is
+    just [sum n_blocks][all headers in order][all payloads in order].
+    This is what makes the partial-index merge byte-splicing instead of
+    decode+re-encode (the map-side-partials build, SURVEY §3.1)."""
+    headers: list[bytes] = []
+    payloads: list[bytes] = []
+    total = 0
+    for blob in blobs:
+        nb = int(np.frombuffer(blob[:4], dtype=np.uint32)[0])
+        total += nb
+        cut = 4 + nb * _HEADER_DTYPE.itemsize
+        headers.append(blob[4:cut])
+        payloads.append(blob[cut:])
+    return np.uint32(total).tobytes() + b"".join(headers) + b"".join(payloads)
+
+
 def merge_blobs(blobs: list[bytes], block_size: int = BLOCK_SIZE) -> bytes:
     """Merge blobs whose doc-id ranges are disjoint and given in order.
 

@@ -55,8 +55,8 @@ from .build import (
     field_name_expr,
     field_names,
     index_from_merged,
-    merge_flat,
-    tokenize_corpus,
+    merge_partials,
+    tokenize_corpus_partial,
 )
 
 MANIFEST = "manifest.json"
@@ -219,34 +219,26 @@ def build_epoch(
         per_batch = max(1, math.ceil(len(pending) / bucket_batches))
         n_batches = math.ceil(len(pending) / per_batch)
         bucket_col = F.pmod(F.hash(field_name_expr(fields), F.col("term")), F.lit(buckets))
+        make_partials = lambda: tokenize_corpus_partial(  # noqa: E731
+            docs, specs, chunk, min_id, int(params["block_size"])
+        ).withColumn("bucket", bucket_col)
         if n_batches > 1:
-            # stage the tokenized stream ONCE, partitioned by bucket, so each
-            # bucket batch is a partition-pruned parquet read — never a
-            # re-tokenize of the full corpus (r1 did bucket_batches full
-            # tokenize passes; 4x wasted I/O at scale)
+            # stage the map-side PARTIAL postings ONCE, partitioned by
+            # bucket, so each bucket batch is a partition-pruned parquet
+            # read — never a re-tokenize of the full corpus (r1 did
+            # bucket_batches full tokenize passes; 4x wasted I/O at scale)
             sdir = os.path.join(edir, "staging")
             if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
-                (
-                    tokenize_corpus(docs, specs)
-                    .withColumn("shard", F.expr(f"(doc_id - {min_id}) div {chunk}"))
-                    .withColumn("bucket", bucket_col)
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(sdir)
-                )
-            flat = spark.read.parquet(sdir)
+                make_partials().write.mode("overwrite").partitionBy("bucket").parquet(sdir)
+            partials = spark.read.parquet(sdir)
         else:
             # single batch: stream tokenize -> merge directly (no staging I/O)
-            flat = (
-                tokenize_corpus(docs, specs)
-                .withColumn("shard", F.expr(f"(doc_id - {min_id}) div {chunk}"))
-                .withColumn("bucket", bucket_col)
-            )
+            partials = make_partials()
         done_batches = 0
         for i in range(0, len(pending), per_batch):
             batch = pending[i : i + per_batch]
-            part = merge_flat(
-                flat.filter(F.col("bucket").isin(batch)).drop("bucket"),
+            part = merge_partials(
+                partials.filter(F.col("bucket").isin(batch)).drop("bucket"),
                 fields, shuffle_parts, block_size,
             ).withColumn("bucket", F.pmod(F.hash("field", "term"), F.lit(buckets)))
             (
@@ -324,6 +316,126 @@ def build_epoch(
     return epoch
 
 
+def add_field(
+    spark: SparkSession,
+    root: str,
+    new_specs: list[FieldSpec],
+    *,
+    num_partitions: int | None = None,
+) -> int:
+    """Add named field(s) to a LIVE persisted index at runtime — the
+    reference's ``Fields::add_field`` (``/root/reference/src/field/mod.rs:74-96``:
+    create a named index at runtime, error on duplicate) as a
+    **field-only epoch**: the existing docs tables are re-analyzed for the
+    new field(s) only and the postings land in a new epoch; no existing
+    epoch is touched and doc ids are unchanged.
+
+    Shard consistency: each document keeps the shard its ORIGINAL epoch
+    assigned (same min_doc_id/chunk), so cross-field conjunctions between
+    old and new fields stay shard-local at query time.
+    """
+    committed = list_epochs(root)
+    if not committed:
+        raise FileNotFoundError(f"no committed epochs under {root}")
+    existing: set[str] = set()
+    for e in committed:
+        m = _read_manifest(_epoch_dir(root, e))
+        for s in m.get("specs", []):
+            existing.add(s["field"])
+            if s.get("number_field"):
+                existing.add(s["number_field"])
+    for s in new_specs:
+        for name in (s.field, s.number_field):
+            if name is not None and name in existing:
+                raise ValueError(f"field {name!r} already exists in the index")
+    docs0 = spark.read.parquet(os.path.join(_epoch_dir(root, committed[0]), "docs"))
+    missing_src = [s.source for s in new_specs if s.source not in docs0.columns]
+    if missing_src:
+        raise ValueError(
+            f"source column(s) {missing_src} not present in the indexed docs "
+            f"(have: {sorted(docs0.columns)})"
+        )
+
+    epoch = committed[-1] + 1
+    edir = _epoch_dir(root, epoch)
+    manifest0 = _read_manifest(_epoch_dir(root, committed[0]))
+    params = dict(manifest0["params"])
+    buckets = int(params["buckets"])
+    fields = field_names(new_specs)
+    shuffle_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+    parts_df = None
+    for e in committed:
+        m = _read_manifest(_epoch_dir(root, e))
+        p = m["params"]
+        docs_e = spark.read.parquet(os.path.join(_epoch_dir(root, e), "docs"))
+        # each doc keeps its ORIGINAL epoch's shard mapping (min_id/chunk)
+        fe = tokenize_corpus_partial(
+            docs_e, new_specs, int(p["chunk"]), int(p["min_doc_id"]),
+            int(params["block_size"]),
+        )
+        parts_df = fe if parts_df is None else parts_df.unionByName(fe)
+
+    part = merge_partials(
+        parts_df, fields, shuffle_parts, int(params["block_size"])
+    ).withColumn("bucket", F.pmod(F.hash("field", "term"), F.lit(buckets)))
+    os.makedirs(edir, exist_ok=True)
+    part.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(edir, "postings")
+    )
+    # explicit schema: a source with zero tokens writes no data files
+    all_rows = spark.read.schema(part.schema).parquet(os.path.join(edir, "postings"))
+    (
+        all_rows.filter(F.col("term") != DL_MARKER)
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(edir, "vocabulary"))
+    )
+    (
+        all_rows.filter(F.col("term") == DL_MARKER)
+        .select("field", "shard", F.col("df").alias("n_docs"), "blob")
+        .write.mode("overwrite")
+        .parquet(os.path.join(edir, "doc_lens"))
+    )
+    lineage = {
+        str(int(r["bucket"])): {
+            "status": "done",
+            "rows": int(r["rows"]),
+            "term_count": int(r["terms"]),
+            "posting_count": int(r["postings"]),
+        }
+        for r in all_rows.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("term").alias("terms"),
+            F.sum("df").alias("postings"),
+        ).collect()
+    }
+    for b in range(buckets):
+        lineage.setdefault(str(b), {"status": "done", "rows": 0,
+                                    "term_count": 0, "posting_count": 0})
+    manifest = {
+        "epoch": epoch,
+        "created_unix": int(time.time()),
+        "committed_unix": int(time.time()),
+        "field_only": True,
+        "base_epochs": committed,
+        "params": params,
+        "specs": [asdict(s) for s in new_specs],
+        "n_docs": 0,  # docs belong to the base epochs; do not double-count
+        "max_doc_id": int(_read_manifest(_epoch_dir(root, committed[-1]))["max_doc_id"]),
+        "buckets": lineage,
+        "doc_count_total": 0,
+        "term_count_total": sum(v["term_count"] for v in lineage.values()),
+    }
+    _write_manifest(edir, manifest)
+    with open(os.path.join(edir, SUCCESS), "w") as f:
+        f.write("ok\n")
+    return epoch
+
+
 def load_index(
     spark: SparkSession,
     root: str,
@@ -344,7 +456,16 @@ def load_index(
     n_docs = 0
     manifest0 = _read_manifest(_epoch_dir(root, epochs[0]))
     if specs is None:
-        specs = [FieldSpec(**s) for s in manifest0["specs"]]
+        # union of every epoch's specs — field-only epochs (add_field)
+        # contribute the fields they added
+        seen_fields: set[str] = set()
+        specs = []
+        for e in epochs:
+            for s in _read_manifest(_epoch_dir(root, e)).get("specs", []):
+                if s["field"] not in seen_fields:
+                    seen_fields.add(s["field"])
+                    specs.append(FieldSpec(**{k: tuple(v) if k == "stopwords" else v
+                                              for k, v in s.items()}))
     for e in epochs:
         edir = _epoch_dir(root, e)
         m = _read_manifest(edir)
@@ -354,13 +475,14 @@ def load_index(
         part = spark.read.parquet(os.path.join(edir, "postings")).withColumn(
             "epoch", F.lit(e)
         )
-        d = spark.read.parquet(os.path.join(edir, "docs"))
         dl = spark.read.parquet(os.path.join(edir, "doc_lens")).withColumn(
             "epoch", F.lit(e)
         )
         vs = spark.read.parquet(os.path.join(edir, "vocabulary"))
         merged = part if merged is None else merged.unionByName(part)
-        docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
+        if not m.get("field_only"):  # field epochs reuse the base docs
+            d = spark.read.parquet(os.path.join(edir, "docs"))
+            docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
         doc_lens = dl if doc_lens is None else doc_lens.unionByName(dl)
         vocab_source = vs if vocab_source is None else vocab_source.unionByName(vs)
 

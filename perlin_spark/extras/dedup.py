@@ -128,16 +128,72 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection: (doc_a, doc_b, jacc_x1e4).
+
+    Scale hardening (r1 verdict items):
+
+    * **Exact duplicates are pre-collapsed** by sha256(text) before
+      shingling; the LSH pipeline runs on one representative per distinct
+      text and pairs are re-expanded afterwards.  Identical texts have
+      identical signatures and shingle sets, so the expanded output is
+      EXACTLY what the uncollapsed pipeline would emit — but a
+      million-copy boilerplate document costs one signature instead of a
+      10^12-pair band bucket.
+    * ``bucket_cap`` (optional) drops band buckets with more than this
+      many *distinct* texts (logged), bounding the candidate join against
+      adversarial near-identical clusters at the price of recall — off by
+      default so the DuckDB oracle equality holds.
 
     Banding: 4 bands x 4 rows; docs colliding on any full band become
     candidates; candidates are verified with EXACT Jaccard, so output ⊆
     :func:`ngram_jaccard_pairs` output (equality whenever LSH recalls all
-    qualifying pairs — with 4x4 banding a pair at jacc=0.5 is caught with
-    p = 1-(1-0.5^4)^4 ≈ 0.23 per the S-curve; the pinned hash family makes
-    the outcome deterministic and oracle-checkable either way)."""
+    qualifying pairs; the pinned hash family makes the outcome
+    deterministic and oracle-checkable either way)."""
+    members = documents.select(F.sha2(F.col("text"), 256).alias("sha"), "doc_id")
+    reps = members.groupBy("sha").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    rep_docs = documents.join(reps.select("doc_id"), "doc_id")
+    rep_pairs = _minhash_lsh_rep_pairs(rep_docs, threshold, k, bucket_cap)
+
+    # re-expand representatives to their exact-duplicate group members
+    m = members.join(reps.select("sha", F.col("doc_id").alias("rep")), "sha").select(
+        "rep", "doc_id"
+    )
+    ma = m.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
+    mb = m.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            "jacc_x1e4",
+        )
+    )
+    # identical texts: jaccard is exactly 1.0, always above any threshold<=1
+    within = (
+        m.alias("p")
+        .join(m.alias("q"), F.col("p.rep") == F.col("q.rep"))
+        .filter(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+            F.lit(10000).cast("long").alias("jacc_x1e4"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_lsh_rep_pairs(
+    documents: DataFrame, threshold: float, k: int, bucket_cap: int | None
+) -> DataFrame:
+    """LSH core over (already exact-deduped) documents."""
     sh = shingles_df(documents, k).persist()
     sig = minhash_signatures(sh)
     bands = []
@@ -154,6 +210,22 @@ def minhash_lsh_pairs(
     for extra in bands[1:]:
         bucketed = bucketed.unionByName(extra)
     key = ["band"] + [f"b{r}" for r in range(ROWS_PER_BAND)]
+    if bucket_cap is not None:
+        # bound the per-bucket self-join against adversarial clusters of
+        # near-identical (but not identical) texts; dropped buckets are
+        # counted and logged — a silent cap would read as full coverage
+        import logging
+
+        sizes_b = bucketed.groupBy(*key).agg(F.count(F.lit(1)).alias("_bsz"))
+        dropped = sizes_b.filter(F.col("_bsz") > bucket_cap).count()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropping %d band buckets over cap=%d "
+                "(recall loss on mega near-dup clusters)", dropped, bucket_cap
+            )
+        bucketed = bucketed.join(
+            sizes_b.filter(F.col("_bsz") <= bucket_cap).select(*key), key
+        )
     left = bucketed.select(*key, F.col("doc_id").alias("doc_a"))
     right = bucketed.select(*key, F.col("doc_id").alias("doc_b"))
     cands = (
@@ -214,18 +286,54 @@ def simhash(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance (block on top-16 bits to
-    avoid the full cross join; scale path would use multi-table rotations)."""
-    s = simhash(documents)
-    block = F.expr(f"shiftright(simhash, {SIMHASH_BITS - 16})")
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), block.alias("blk"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), block.alias("blk"))
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+def simhash_blocks(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """Disjoint (shift, width) blocks for pigeonhole blocking: a pair with
+    hamming <= d differs in <= d bits, so over d+1 disjoint blocks at least
+    one block is identical — candidate generation has GUARANTEED recall
+    (r1's single top-16-bit block silently missed pairs differing there)."""
+    n_tables = max_hamming + 1
+    if n_tables > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more blocks than {bits} bits")
+    base, rem = divmod(bits, n_tables)
+    blocks, lo = [], 0
+    for i in range(n_tables):
+        width = base + (1 if i < rem else 0)
+        blocks.append((lo, width))
+        lo += width
+    return blocks
+
+
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 3, sigs: DataFrame | None = None
+) -> DataFrame:
+    """EXACT near-dup pairs by SimHash hamming distance, without the cross
+    join: multi-table pigeonhole blocking (one table per disjoint bit
+    block, d+1 tables for radius d) generates candidates with guaranteed
+    recall; each candidate is verified with the true ``bit_count(xor)``.
+    Output therefore equals the brute-force hamming self-join.
+
+    Scale: each table's join is an equi-join on a block key; block width
+    ``bits/(d+1)`` controls selectivity, so large radii on short
+    signatures get expensive — that's inherent to exact Hamming search,
+    not to this plan."""
+    s = sigs if sigs is not None else simhash(documents)
+    tables = []
+    for lo, width in simhash_blocks(max_hamming):
+        key = F.expr(f"(simhash >> {lo}) & {(1 << width) - 1}")
+        tables.append(
+            s.select(F.lit(lo).alias("tbl"), key.alias("blk"), "doc_id", "simhash")
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+    a = bucketed.select("tbl", "blk", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = bucketed.select("tbl", "blk", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     return (
-        a.join(b, "blk")
+        a.join(b, ["tbl", "blk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a close pair may collide in several tables
     )

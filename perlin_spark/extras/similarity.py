@@ -72,21 +72,90 @@ def lsh_bucket_expr(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED):
     return bucket
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 128, minimum: int = 4) -> int:
+    """Planes sized so the EXPECTED bucket holds ~target_bucket vectors:
+    n_planes = log2(n / target).  Grows with the corpus — fixed 16 buckets
+    (r1) meant per-bucket scans grew linearly with n."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return minimum
+    return max(minimum, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
+def probe_buckets(query_vec: list[float], n_planes: int, seed: int = LSH_SEED,
+                  probe_hamming: int = 1) -> list[int]:
+    """Multiprobe set: the query's bucket plus all buckets within
+    ``probe_hamming`` sign flips — the standard recall fix for
+    hyperplane LSH (a vector near a plane lands on either side)."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qarr = np.asarray(query_vec, dtype=np.float64)
+    q = int(sum((1 << i) for i in range(n_planes) if planes[i] @ qarr > 0))
+    probes = {q}
+    if probe_hamming >= 1:
+        probes |= {q ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            q ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    return sorted(probes)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     exclude_id: int | None = None,
+    n_planes: int | None = None,
+    seed: int = LSH_SEED,
+    probe_hamming: int = 1,
+    target_bucket: int = 128,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH with multiprobe: exact cosine
+    rescoring inside the query's bucket and its hamming<=``probe_hamming``
+    neighbor buckets.  ``n_planes=None`` sizes the table from the corpus
+    (one count job at build time).  Deterministic given the seed.
+
+    At rest, write the table once with :func:`write_lsh_buckets` and scan
+    with partition pruning instead of recomputing the bucket expression."""
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count(), target_bucket)
+    dim = len(query_vec)
+    probes = probe_buckets(query_vec, n_planes, seed, probe_hamming)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(dim, n_planes, seed))
+    cands = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id)
+
+
+def write_lsh_buckets(
+    embeddings: DataFrame, path: str, n_planes: int, dim: int, seed: int = LSH_SEED
+) -> None:
+    """Materialize the LSH table partitioned by bucket — queries against
+    the written table read only the probed bucket directories (partition
+    pruning), the 100-TB layout for :func:`lsh_topk_from_buckets`."""
+    (
+        embeddings.withColumn("bucket", lsh_bucket_expr(dim, n_planes, seed))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_topk_from_buckets(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
     n_planes: int = LSH_PLANES,
     seed: int = LSH_SEED,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN via random-hyperplane LSH: exact rescoring inside the query's
-    bucket only.  Approximate (bucket may truncate recall); deterministic
-    given the seed."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qarr = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << i) for i in range(n_planes) if planes[i] @ qarr > 0))
-    bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(dim, n_planes, seed))
-    cands = bucketed.filter(F.col("bucket") == qbucket)
-    return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id)
+    """Query a :func:`write_lsh_buckets` table: the bucket filter prunes
+    the parquet scan to the probed partitions."""
+    probes = probe_buckets(query_vec, n_planes, seed, probe_hamming)
+    table = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id)

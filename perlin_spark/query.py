@@ -100,14 +100,21 @@ def _membership(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
 class _ShardScorer:
     """Scores one shard: candidate generation, filters, BM25, top-k.
 
-    All query metadata arrives as columns of the matched-postings frame.
+    Query metadata (one op dict per role/group/field/term, plus the group
+    and Must counts) ships in the UDF closure — tiny, and it removes two
+    broadcast-join exchanges from the per-query plan.  The shard's rows
+    carry only storage columns (field, term, shard, epoch, blob, dl_blob).
     """
 
-    def __init__(self, k1: float, b: float, topk: int | None, prune: bool = True):
+    def __init__(self, k1: float, b: float, topk: int | None, prune: bool,
+                 ops: list[dict], n_groups: int, n_must: int):
         self.k1 = k1
         self.b = b
         self.topk = topk
         self.prune = prune
+        self.ops = ops
+        self.n_groups = n_groups
+        self.n_must = n_must
 
     @staticmethod
     def _empty() -> pd.DataFrame:
@@ -138,37 +145,23 @@ class _ShardScorer:
             if ds:
                 dl_lookup[field] = _merge_sorted(ds, ts)
 
-        # one logical "operand" per (role, group, field, term); shards were
-        # merged at build so multiple rows per operand are distinct shards
-        # of the same posting list (should not happen within one shard, but
-        # concatenation keeps it correct either way)
+        # collect each (field, term)'s blobs exactly once per (shard, epoch);
+        # operands come from the closure metadata, but only for terms that
+        # actually have postings in this shard (absent term => absent
+        # operand => conjunctive groups/Must filters empty the shard, the
+        # reference's unknown-term semantics, src/document_index.rs:145)
         decoded: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         blobs_by_term: dict[tuple[str, str], list[bytes]] = {}
         seen_blob: set[tuple] = set()
-        operands: dict[tuple, dict] = {}
         for r in pdf.itertuples(index=False):
-            key = (r.field, r.term)
-            # a term used in several roles arrives once per role; collect
-            # its blob exactly once per (shard, epoch)
             blob_key = (r.field, r.term, int(r.shard), int(r.epoch))
             if blob_key not in seen_blob:
                 seen_blob.add(blob_key)
-                blobs_by_term.setdefault(key, []).append(bytes(r.blob))
-            op_key = (r.role, int(r.group), r.field, r.term)
-            if op_key not in operands:
-                operands[op_key] = {
-                    "field": r.field,
-                    "term": r.term,
-                    "role": r.role,
-                    "group": int(r.group),
-                    "comb": r.comb,
-                    "gsize": int(r.gsize),
-                    "df": int(r.df_g),
-                    "idf": float(r.idf),
-                    "weight": float(r.weight),
-                    "avgdl": max(float(r.avgdl), 1e-9),
-                    "mindl": max(float(r.mindl), 0.0),
-                }
+                blobs_by_term.setdefault((r.field, r.term), []).append(bytes(r.blob))
+        operands: dict[tuple, dict] = {}
+        for op in self.ops:
+            if (op["field"], op["term"]) in blobs_by_term:
+                operands[(op["role"], op["group"], op["field"], op["term"])] = op
 
         def decode_full(key):
             if key not in decoded:
@@ -199,8 +192,7 @@ class _ShardScorer:
                 may.append(op)
 
         # a group or Must filter with no postings in this shard empties it
-        first = pdf.iloc[0]
-        if len(groups) < int(first["n_groups"]) or len(must) < int(first["n_must"]):
+        if len(groups) < self.n_groups or len(must) < self.n_must:
             return self._empty()
 
         # --- block-max MaxScore fast path (pure disjunctive top-k) -----------
@@ -406,8 +398,12 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
 _ShardScorer._score_maxscore = _scorer_maxscore
 
 
-def _terms_meta_pdf(query: QuerySpec, ratios: dict[str, float]) -> pd.DataFrame | None:
-    rows: list[tuple] = []
+def _query_ops(query: QuerySpec, ratios: dict[str, float]) -> tuple[list[dict], int, int]:
+    """QuerySpec -> (op dicts, n_groups, n_must).  The counts make a shard
+    (or index) where a whole group / Must filter matched nothing yield
+    NOTHING, not "unconstrained" (unknown term -> empty result,
+    src/document_index.rs:145)."""
+    ops: list[dict] = []
     n_groups = 0
     for gid, (field, comb, terms) in enumerate(query.groups):
         uniq = list(dict.fromkeys(terms))
@@ -415,25 +411,16 @@ def _terms_meta_pdf(query: QuerySpec, ratios: dict[str, float]) -> pd.DataFrame 
             continue
         n_groups += 1
         for term in uniq:
-            rows.append((field, term, "group", gid, comb, len(uniq),
-                         1.0 / ratios.get(field, 1.0)))
+            ops.append({"field": field, "term": term, "role": "group",
+                        "group": gid, "comb": comb, "gsize": len(uniq),
+                        "weight": 1.0 / ratios.get(field, 1.0)})
     filters = list(dict.fromkeys(query.filters))
     n_must = sum(1 for op, _, _ in filters if op == "must")
     for fid, (op, field, term) in enumerate(filters):
-        rows.append((field, term, op, 1000 + fid, "any", 1,
-                     1.0 / ratios.get(field, 1.0)))
-    if not rows:
-        return None
-    pdf = pd.DataFrame(
-        rows, columns=["field", "term", "role", "group", "comb", "gsize", "weight"]
-    )
-    # constraint counts: a shard (or index) where a whole group / a Must
-    # filter matched no postings must yield NOTHING, not "unconstrained" —
-    # the scorer checks these per shard (unknown term -> empty result,
-    # src/document_index.rs:145)
-    pdf["n_groups"] = n_groups
-    pdf["n_must"] = n_must
-    return pdf
+        ops.append({"field": field, "term": term, "role": op,
+                    "group": 1000 + fid, "comb": "any", "gsize": 1,
+                    "weight": 1.0 / ratios.get(field, 1.0)})
+    return ops, n_groups, n_must
 
 
 def search(
@@ -448,6 +435,12 @@ def search(
     BM25 ordering [north-star] and tie-break ``(score desc, doc_id asc)``.
     ``k=None`` returns the full ranked match set (plain sort, no
     takeOrdered buffer — never pass a huge k instead).
+
+    Latency shape — ONE Spark job on the hot path: query metadata (idf,
+    weights, group structure) rides the UDF closure instead of broadcast
+    joins; per-term idf comes from a driver-cached vocab lookup (its own
+    tiny job only on cache miss); bucket pruning is computed driver-side
+    (spark_hash.py) with no job at all.
     """
     spark = index.spark
     ratios = {s.field: s.term_doc_ratio for s in index.specs}
@@ -455,43 +448,39 @@ def search(
         if s.number_field:
             ratios.setdefault(s.number_field, 1.0)
 
-    terms_pdf = _terms_meta_pdf(query, ratios)
-    if terms_pdf is None or not any(terms_pdf["role"] == "group"):
+    ops, n_groups, n_must = _query_ops(query, ratios)
+    if not any(op["role"] == "group" for op in ops):
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     stats = index.stats_map()  # collected once per index, then driver-cached
-    terms_pdf["avgdl"] = [
-        stats.get(f, {"avgdl": 1.0})["avgdl"] for f in terms_pdf["field"]
-    ]
-    terms_pdf["mindl"] = [
-        float(stats.get(f, {"mindl": 0})["mindl"]) for f in terms_pdf["field"]
-    ]
-    terms_meta = spark.createDataFrame(terms_pdf)
+    pairs = sorted({(op["field"], op["term"]) for op in ops})
+    vocab = index.vocab_lookup(pairs)  # driver-cached (df_g, idf) per term
+    for op in ops:
+        df_g, idf = vocab[(op["field"], op["term"])]
+        st = stats.get(op["field"], {"avgdl": 1.0, "mindl": 0})
+        op["df"] = df_g
+        op["idf"] = idf
+        op["avgdl"] = max(float(st["avgdl"]), 1e-9)
+        op["mindl"] = max(float(st["mindl"]), 0.0)
 
-    fields_needed = sorted(set(terms_pdf["field"]))
-    # broadcast only the query terms' vocabulary rows, never the full table;
-    # vocab_for_terms joins BEFORE aggregating so the scan is pushdown-pruned
-    vocab_rows = index.vocab_for_terms(
-        terms_meta.select("field", "term").distinct()
-    ).select("field", "term", "df_g", "idf")
+    fields_needed = sorted({f for f, _ in pairs})
     postings = index.postings
     if index.buckets:
-        # static partition pruning: a tiny local job computes the query
-        # terms' bucket values (Spark's own murmur3 hash), then the scan
-        # reads only those bucket directories
-        bucket_rows = (
-            spark.createDataFrame(terms_pdf[["field", "term"]].drop_duplicates())
-            .select(F.pmod(F.hash("field", "term"), F.lit(index.buckets)).alias("b"))
-            .distinct()
-            .collect()
-        )
-        postings = postings.filter(
-            F.col("bucket").isin([int(r["b"]) for r in bucket_rows])
-        )
-    matched = (
-        postings.join(F.broadcast(terms_meta), ["field", "term"])
-        .join(F.broadcast(vocab_rows), ["field", "term"])
-    )
+        # static partition pruning: the query terms' bucket values come
+        # from a driver-side replica of Spark's murmur3 (spark_hash.py,
+        # parity-tested) — no extra Spark job on the latency path
+        from .spark_hash import bucket_of
+
+        need = sorted({bucket_of(f, t, index.buckets) for f, t in pairs})
+        postings = postings.filter(F.col("bucket").isin(need))
+    by_field: dict[str, list[str]] = {}
+    for f, t in pairs:
+        by_field.setdefault(f, []).append(t)
+    cond = None
+    for f, terms in by_field.items():
+        c = (F.col("field") == f) & F.col("term").isin(terms)
+        cond = c if cond is None else (cond | c)
+    matched = postings.filter(cond).select("field", "term", "shard", "epoch", "blob")
     # postings and doc_lens share lineage (both views of the build output);
     # re-aliasing every column gives the join fresh ExprIds, avoiding the
     # ambiguous-self-join trap while staying a cheap (field, shard) equi-join
@@ -501,12 +490,12 @@ def search(
         F.col("blob").alias("dl_blob"),
     )
     matched = matched.join(
-        dls,
+        F.broadcast(dls),
         (F.col("field") == F.col("dl_field")) & (F.col("shard") == F.col("dl_shard")),
         "left",
     )
 
-    scorer = _ShardScorer(index.k1, index.b, k, prune)
+    scorer = _ShardScorer(index.k1, index.b, k, prune, ops, n_groups, n_must)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return scorer(pdf)

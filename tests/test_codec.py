@@ -81,6 +81,33 @@ def test_column_encode_equals_per_group(groups, block_size):
         assert blob == codec.encode_postings(d, t, block_size=block_size)
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**30), min_size=1, max_size=200, unique=True),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_splice_blobs_decodes_to_concat(groups, block_size):
+    """splice (no decode) must decode to the concatenation of its inputs
+    when doc ranges are disjoint ascending — the partial-merge fast path."""
+    # make ranges disjoint ascending by offsetting each group
+    offset, parts = 0, []
+    for g in groups:
+        d = np.sort(np.array(g, dtype=np.int64)) + offset
+        offset = int(d[-1]) + 1
+        parts.append((d, (d % 17) + 1))
+    blobs = [codec.encode_postings(d, t, block_size=block_size) for d, t in parts]
+    spliced = codec.splice_blobs(blobs)
+    d, t = codec.decode_postings(spliced)
+    assert np.array_equal(d, np.concatenate([p[0] for p in parts]))
+    assert np.array_equal(t, np.concatenate([p[1] for p in parts]))
+    h = codec.read_headers(spliced)
+    assert int(h["count"].sum()) == d.size  # block skip machinery intact
+
+
 def test_merge_blobs_equals_single_encode():
     docs = np.arange(0, 1000, 3, dtype=np.int64)
     tfs = np.ones_like(docs)

@@ -47,6 +47,34 @@ def test_term_doc_ratio_weighting(spark):
     assert title_part_even > 0
 
 
+def test_spark_hash_parity(spark):
+    """Driver-side murmur3 (spark_hash.py) must equal F.hash bit-for-bit —
+    it replaces the per-query bucket-pruning Spark job."""
+    from pyspark.sql import functions as F
+
+    from perlin_spark.spark_hash import bucket_of, spark_hash_strings
+
+    rows = [
+        ("text", "hello"),
+        ("content", "ünïcode✓"),
+        ("f", ""),
+        ("number", "12345678901234567890"),
+        ("x", "abcdefg"),
+        ("y", "日本語テキスト"),
+        ("text", "a"),
+        ("text", "ab"),
+        ("text", "abc"),
+        ("text", "abcd"),
+    ]
+    df = spark.createDataFrame(rows, "field string, term string").select(
+        "field", "term", F.hash("field", "term").alias("h"),
+        F.pmod(F.hash("field", "term"), F.lit(8)).alias("b"),
+    )
+    for r in df.collect():
+        assert spark_hash_strings([r["field"], r["term"]]) == r["h"]
+        assert bucket_of(r["field"], r["term"], 8) == r["b"]
+
+
 def test_hierarchy_query_expansion(spark):
     """Hierarchy child expansion (src/field/hierarchy.rs:31-36) used for
     query expansion: searching a parent term matches child-term docs."""

@@ -93,6 +93,41 @@ def test_resume_after_kill_is_identical(spark, tmp_path):
     assert _postings_set(load_index(spark, root_a)) == _postings_set(load_index(spark, root_b))
 
 
+def test_add_field_on_live_index(spark, tmp_path):
+    """Runtime add_field (src/field/mod.rs:74-96): a new named field over
+    existing docs, duplicate rejected, cross-field query shard-consistent."""
+    from perlin_spark.epochs import add_field
+
+    root = str(tmp_path / "af")
+    build_epoch(spark, golden_corpus(spark), reference_specs(), root,
+                n_shards=2, buckets=4)
+    extra = spark.createDataFrame(
+        GOLDEN_EXTRA_DOCS, "doc_id long, title string, text string"
+    )
+    build_epoch(spark, extra, reference_specs(), root, n_shards=2, buckets=4)
+
+    # add an unstemmed "raw" view of text as a brand-new field
+    e = add_field(spark, root, [FieldSpec(field="raw", source="text", stem=False)])
+    assert e == 2 and list_epochs(root) == [0, 1, 2]
+
+    idx = load_index(spark, root)
+    assert {s.field for s in idx.specs} >= {"text", "title", "raw"}
+    assert idx.n_docs == 6  # field epoch does not double-count docs
+    eng = PerlinEngine(idx, QueryPipeline(text_spec=FieldSpec(field="raw", source="text")))
+    got = [r["doc_id"] for r in eng.search("unicorns", k=10).collect()]
+    assert got == [2]
+    # cross-field conjunction old+new stays shard-local and exact
+    from perlin_spark.analysis import QuerySpec
+
+    q = QuerySpec(groups=(("raw", "all", ("flew",)), ("text", "all", ("bird",))))
+    got = sorted(r["doc_id"] for r in eng.search(q, k=10).collect())
+    assert got == [0, 1]
+
+    # duplicate field name rejected (reference panics; we raise)
+    with pytest.raises(ValueError, match="already exists"):
+        add_field(spark, root, [FieldSpec(field="raw", source="text")])
+
+
 def test_manifest_lineage(spark, tmp_path):
     import json
     import os

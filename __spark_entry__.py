@@ -90,9 +90,9 @@ def q_postings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames = []
-            for _, r in pdf.iterrows():
-                docs, tfs = codec.decode_postings(bytes(r["blob"]))
-                frames.append(pd.DataFrame({"term": r["term"], "doc_id": docs, "tf": tfs}))
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                docs, tfs = codec.decode_postings(bytes(blob))
+                frames.append(pd.DataFrame({"term": term, "doc_id": docs, "tf": tfs}))
             yield (
                 pd.concat(frames, ignore_index=True)
                 if frames
@@ -123,8 +123,8 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames = []
-            for _, r in pdf.iterrows():
-                docs, dls = codec.decode_postings(bytes(r["blob"]))
+            for blob in pdf["blob"]:
+                docs, dls = codec.decode_postings(bytes(blob))
                 frames.append(pd.DataFrame({"doc_id": docs, "dl": dls}))
             yield (
                 pd.concat(frames, ignore_index=True)

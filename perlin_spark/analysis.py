@@ -198,13 +198,15 @@ def analyze_pandas(pdf: pd.DataFrame, specs: list[FieldSpec], doc_id_col: str = 
     batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
     doc_ids_all = pdf[doc_id_col].to_numpy(dtype="int64")
     out_frames: list[pd.DataFrame] = []
-    for field_name, doc_pos, terms, tfs in analyze_record_batch(batch, specs, doc_id_col):
+    for field_name, doc_pos, tcodes, term_dict, tfs in analyze_record_batch(
+        batch, specs, doc_id_col
+    ):
         out_frames.append(
             pd.DataFrame(
                 {
                     "doc_id": doc_ids_all[doc_pos],
                     "field": field_name,
-                    "term": terms.to_pandas().astype(object),
+                    "term": pc.take(term_dict, pa.array(tcodes)).to_pandas().astype(object),
                     "tf": tfs.astype("int64"),
                 }
             )
@@ -218,12 +220,15 @@ def analyze_pandas(pdf: pd.DataFrame, specs: list[FieldSpec], doc_id_col: str = 
 
 def analyze_record_batch(
     batch: pa.RecordBatch, specs: list[FieldSpec], doc_id_col: str = "doc_id"
-) -> list[tuple[str, np.ndarray, pa.Array, np.ndarray]]:
-    """One Arrow corpus batch -> aggregated tf triples per output field.
+) -> list[tuple[str, np.ndarray, np.ndarray, pa.Array, np.ndarray]]:
+    """One Arrow corpus batch -> aggregated tf rows per output field.
 
-    Returns ``[(field_name, doc_pos, terms, tf), ...]`` where ``doc_pos``
-    indexes rows of ``batch`` (the caller maps positions to doc ids and
-    derives per-(doc, field) lengths with one ``np.bincount``).
+    Returns ``[(field_name, doc_pos, term_codes, term_dict, tf), ...]``
+    where ``doc_pos`` indexes rows of ``batch`` and ``term_codes`` indexes
+    ``term_dict``.  Rows are TERM-MAJOR: sorted by (term_code, doc_pos) —
+    the partial-posting encoder consumes term-grouped, doc-ascending runs
+    directly, so the single ``np.unique`` here is the only sort on the
+    whole map side (for doc-sorted input partitions).
 
     This is the build hot path: tokenization (:func:`_split_arrow`),
     flatten/parent-index bookkeeping, and occurrence dictionary-encoding
@@ -234,7 +239,7 @@ def analyze_record_batch(
     scales with cores instead of stalling on memory bandwidth.
     """
     names = set(batch.schema.names)
-    out: list[tuple[str, np.ndarray, pa.Array, np.ndarray]] = []
+    out: list[tuple[str, np.ndarray, np.ndarray, pa.Array, np.ndarray]] = []
     for spec in specs:
         if spec.source not in names:
             continue
@@ -259,13 +264,18 @@ def analyze_record_batch(
             occ_mask = occ_codes >= 0
             if not occ_mask.any():
                 continue
-            n_terms = len(final_uniques)
-            key = doc_pos_all[occ_mask] * n_terms + occ_codes[occ_mask]
+            n_rows = len(batch)
+            key = occ_codes[occ_mask] * n_rows + doc_pos_all[occ_mask]
             uk, counts = np.unique(key, return_counts=True)
-            terms_arr = pc.take(
-                pa.array(final_uniques, type=pa.string()), pa.array(uk % n_terms)
+            out.append(
+                (
+                    field_name,
+                    uk % n_rows,   # doc_pos
+                    uk // n_rows,  # term code (non-decreasing)
+                    pa.array(final_uniques, type=pa.string()),
+                    counts.astype(np.int64),
+                )
             )
-            out.append((field_name, uk // n_terms, terms_arr, counts.astype(np.int64)))
     return out
 
 

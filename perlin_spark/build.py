@@ -394,13 +394,13 @@ def tokenize_corpus(
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             n_rows = len(batch)
             dl_acc: dict[int, np.ndarray] = {}
-            for fname, doc_pos, terms, tfs in analyze_record_batch(batch, specs):
+            for fname, doc_pos, tcodes, term_dict, tfs in analyze_record_batch(batch, specs):
                 fid = fid_of[fname]
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(doc_ids[doc_pos]),
                         pa.array(np.full(len(tfs), fid, dtype=np.int32)),
-                        terms,
+                        pc.take(term_dict, pa.array(tcodes)),
                         pa.array(tfs),
                     ],
                     names=["doc_id", "fid", "term", "tf"],
@@ -472,10 +472,14 @@ def tokenize_corpus_partial(
     def encode_groups(
         fid: int, docs: np.ndarray, tfs: np.ndarray,
         shard: np.ndarray, tcodes: np.ndarray, term_dict: pa.Array,
+        presorted: bool,
     ) -> pa.RecordBatch:
-        order = np.lexsort((docs, shard, tcodes))
-        docs, tfs = docs[order], tfs[order]
-        shard, tcodes = shard[order], tcodes[order]
+        if not presorted:
+            # external corpora with unsorted doc ids within a partition;
+            # doc-sorted input (assign_doc_ids output) skips this entirely
+            order = np.lexsort((docs, shard, tcodes))
+            docs, tfs = docs[order], tfs[order]
+            shard, tcodes = shard[order], tcodes[order]
         n = docs.size
         change = np.empty(n, dtype=bool)
         change[0] = True
@@ -505,16 +509,16 @@ def tokenize_corpus_partial(
         for batch in batches:
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             n_rows = len(batch)
+            # doc-sorted partitions (the assign_doc_ids layout) get the
+            # sort-free fast path: term-major analyzer output already has
+            # doc ascending within each term run
+            presorted = bool(n_rows < 2 or np.all(doc_ids[1:] > doc_ids[:-1]))
             dl_acc: dict[int, np.ndarray] = {}
-            for fname, doc_pos, terms, tfs in analyze_record_batch(batch, specs):
+            for fname, doc_pos, tcodes, term_dict, tfs in analyze_record_batch(batch, specs):
                 fid = fid_of[fname]
                 docs = doc_ids[doc_pos]
                 shard = (docs - min_id) // chunk
-                denc = terms.dictionary_encode()
-                tcodes = denc.indices.to_numpy(zero_copy_only=False).astype(
-                    np.int64, copy=False
-                )
-                yield encode_groups(fid, docs, tfs, shard, tcodes, denc.dictionary)
+                yield encode_groups(fid, docs, tfs, shard, tcodes, term_dict, presorted)
                 if with_dl:
                     acc = dl_acc.setdefault(fid, np.zeros(n_rows, dtype=np.int64))
                     np.add.at(acc, doc_pos, tfs)
@@ -529,6 +533,7 @@ def tokenize_corpus_partial(
                     fid, docs, acc[nz][order], (docs - min_id) // chunk,
                     np.zeros(nz.size, dtype=np.int64),
                     pa.array([DL_MARKER], type=pa.string()),
+                    True,
                 )
 
     return narrowed.mapInArrow(analyze, PARTIAL_SCHEMA)
@@ -743,10 +748,10 @@ def index_from_merged(
     def dl_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                _, dls = codec.decode_postings(bytes(r["blob"]))
+            for field, blob in zip(pdf["field"], pdf["blob"]):
+                _, dls = codec.decode_postings(bytes(blob))
                 rows.append(
-                    (r["field"], int(dls.size), int(dls.sum()), int(dls.min()) if dls.size else 0)
+                    (field, int(dls.size), int(dls.sum()), int(dls.min()) if dls.size else 0)
                 )
             yield pd.DataFrame(rows, columns=["field", "n", "total", "mn"])
 

@@ -90,6 +90,22 @@ def test_ann_lsh_multiprobe_recall(spark, tmp_path):
     ]
 
 
+def test_auto_n_shards_bounds_scorer_memory():
+    """n_shards grows with the corpus so a shard never exceeds the doc
+    budget — per-(term, shard) decode stays a few MB at ANY scale, even
+    for a term present in every document (the r1 'unbounded scorer
+    memory' defect)."""
+    import math
+
+    from perlin_spark.build import SHARD_DOC_BUDGET, auto_n_shards
+
+    for n_docs in (1, 10_000, 10**6, 10**9, 10**12):
+        shards = auto_n_shards(n_docs)
+        assert math.ceil(n_docs / shards) <= SHARD_DOC_BUDGET
+        assert shards >= 8
+    assert auto_n_shards(10**12) == math.ceil(10**12 / SHARD_DOC_BUDGET)
+
+
 def test_auto_n_planes_scales_with_corpus():
     assert similarity.auto_n_planes(100) == 4
     assert similarity.auto_n_planes(128 * 2**10) == 10

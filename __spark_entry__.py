@@ -214,6 +214,23 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_LSH_PLANES = 6  # pinned for the driver oracle (64 buckets at sf0.01)
+EMB_PAIR_THRESHOLD = 0.45  # sf0.01 corpus tops out at cos ~0.51
+EMB_PAIR_PLANES = 4  # pinned for the driver oracle
+
+
+def q_emb_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_pairs_exact(
+        _embeddings(spark, sf_dir), threshold=EMB_PAIR_THRESHOLD
+    )
+
+
+def q_emb_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_pairs(
+        _embeddings(spark, sf_dir),
+        threshold=EMB_PAIR_THRESHOLD,
+        n_planes=EMB_PAIR_PLANES,
+        probe_hamming=1,
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "ann_lsh_topk": q_ann_lsh,
         "dedup_simhash_near": q_simhash_near,
+        "dedup_embedding_exact": q_emb_pairs_exact,
+        "dedup_embedding_lsh": q_emb_pairs_lsh,
         "golden_reference_suite": q_golden_reference,
         "ft_code_vocabulary": q_code_vocabulary,
         "ft_code_bm25_topk": q_code_bm25,
@@ -481,6 +500,45 @@ c AS (SELECT vec_id, list_cosine_similarity(e, (SELECT qv FROM q)) AS cos
 SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
 FROM c ORDER BY cos DESC, vec_id LIMIT {k}
 """
+
+
+def _emb_pairs_oracle(
+    threshold: float, lsh: bool, dim: int = 64, probe_hamming: int = 1
+) -> str:
+    """Replicates embedding_near_pairs(_exact): for the LSH variant the
+    hyperplanes are seeded constants inlined as literals, and a pair is a
+    candidate iff its buckets differ in <= probe_hamming planes (mask
+    expansion on the a-side, identical to the Spark plan)."""
+    if not lsh:
+        return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM c WHERE cos >= {threshold!r} ORDER BY cos_x1e4 DESC, vec_a, vec_b"""
+    planes = similarity._hyperplanes(dim, EMB_PAIR_PLANES, similarity.LSH_SEED)
+    parts = []
+    for i in range(EMB_PAIR_PLANES):
+        lits = ", ".join(repr(float(x)) for x in planes[i])
+        parts.append(
+            f"(CASE WHEN list_inner_product(v, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(parts)
+    masks = ", ".join(
+        f"({m})" for m in similarity.probe_masks(EMB_PAIR_PLANES, probe_hamming)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, v, {bucket} AS b FROM e),
+a AS (SELECT vec_id AS vec_a, v AS va, xor(b, m.m) AS key
+      FROM bb, (VALUES {masks}) m(m)),
+c AS (SELECT vec_a, vec_b, list_cosine_similarity(va, vb) AS cos
+      FROM a JOIN (SELECT vec_id AS vec_b, v AS vb, b AS key FROM bb) bside
+      USING (key)
+      WHERE vec_a < vec_b)
+SELECT vec_a, vec_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM c WHERE cos >= {threshold!r} ORDER BY cos_x1e4 DESC, vec_a, vec_b"""
 
 
 def _golden_oracle() -> str:
@@ -673,6 +731,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
+        "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),
         "golden_reference_suite": _golden_oracle(),
         "ft_code_vocabulary": f"""
 WITH {_TOK_CODE}

@@ -159,3 +159,119 @@ def lsh_topk_from_buckets(
     probes = probe_buckets(query_vec, n_planes, seed, probe_hamming)
     table = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id)
+
+# --- embedding-cosine near-duplicate pairs (dedup over an embedding col) --
+
+
+def _pair_cos(ea, eb):
+    # norms ride in as precomputed columns (na/nb): one norm per VECTOR,
+    # not one per candidate pair
+    return _dot(ea, eb) / (F.col("na") * F.col("nb"))
+
+
+def embedding_near_pairs_exact(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """ALL pairs (vec_a < vec_b) with cosine >= threshold, by brute-force
+    self-join — O(n^2), the oracle-able exact baseline (same role as
+    ``dedup.ngram_jaccard_pairs``); use :func:`embedding_near_pairs` at
+    scale.  Output: (vec_a, vec_b, cos_x1e4), best first."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    cos = _pair_cos(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_x1e4"),
+        )
+        .orderBy(F.desc("cos_x1e4"), "vec_a", "vec_b")
+    )
+
+
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All XOR masks with popcount <= probe_hamming over n_planes bits.
+    A candidate pair is emitted exactly once (mask = bucket_a ^ bucket_b
+    is unique), so the blocked join needs no distinct."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if probe_hamming >= 3:
+        raise ValueError("probe_hamming > 2 unsupported (mask set explodes)")
+    return masks
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int | None = None,
+    seed: int = LSH_SEED,
+    probe_hamming: int = 1,
+    target_bucket: int = 128,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-blocked: vectors are
+    hyperplane-bucketed (seeded constants — deterministic), the a-side is
+    expanded to every bucket within ``probe_hamming`` bit flips, pairs
+    meet on an equi-join key, and ONLY candidates pay the exact cosine.
+    No cross join: cost is sum over buckets of |a-expanded| x |b|.
+
+    Recall is probabilistic (a pair collides iff its buckets differ in
+    <= probe_hamming planes); raise ``probe_hamming`` or lower
+    ``n_planes`` to trade cost for recall, or use
+    :func:`embedding_near_pairs_exact` when the corpus allows O(n^2).
+    At 100 TB the bucketed table would be written ``partitionBy(bucket)``
+    (see :func:`write_lsh_buckets`) so each bucket's join is
+    partition-local.  Mirrors the reference's duplicate-detection role
+    over an embedding column (no reference counterpart — LLM-pipeline
+    extra)."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count(), target_bucket)
+    bucketed = embeddings.select(
+        "vec_id", "embedding", lsh_bucket_expr(dim, n_planes, seed).alias("bucket")
+    )
+    masks = probe_masks(n_planes, probe_hamming)
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+        F.col("bucket").alias("bucket_a"),
+    ).select(
+        "vec_a", "ea", "na",
+        F.col("bucket_a").bitwiseXOR(F.col("mask")).alias("key"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+        F.col("bucket").alias("key"),
+    )
+    cos = _pair_cos(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "key")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_x1e4"),
+        )
+        .orderBy(F.desc("cos_x1e4"), "vec_a", "vec_b")
+    )

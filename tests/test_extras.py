@@ -187,3 +187,37 @@ def test_epoch_tokenizes_once(spark, tmp_path, monkeypatch):
     # and the committed epoch is queryable
     idx = epochs_mod.load_index(spark, root)
     assert idx.postings.count() > 0
+
+
+def test_embedding_near_pairs_full_probe_equals_exact(spark):
+    """With probe_hamming covering every mask (2 planes, hamming 2) the
+    LSH-blocked near-pair join degenerates to the full pair space, so it
+    must EQUAL the brute-force baseline — validates the candidate->verify
+    machinery independent of recall tuning."""
+    E = _clustered_embeddings(n_clusters=5, per_cluster=20)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(E)), "embedding": E.tolist()})
+    emb = spark.createDataFrame(pdf)
+
+    exact = similarity.embedding_near_pairs_exact(emb, threshold=0.8).collect()
+    lsh = similarity.embedding_near_pairs(
+        emb, threshold=0.8, n_planes=2, probe_hamming=2
+    ).collect()
+    key = lambda rows: sorted((r["vec_a"], r["vec_b"], r["cos_x1e4"]) for r in rows)
+    assert len(exact) > 0
+    assert key(lsh) == key(exact)
+
+    # blocked candidates are a subset at tighter settings, each pair once
+    sub = similarity.embedding_near_pairs(
+        emb, threshold=0.8, n_planes=4, probe_hamming=1
+    ).collect()
+    assert set(key(sub)) <= set(key(exact))
+    assert len(key(sub)) == len(set(key(sub)))
+
+
+def test_probe_masks():
+    assert similarity.probe_masks(4, 0) == [0]
+    assert sorted(similarity.probe_masks(4, 1)) == [0, 1, 2, 4, 8]
+    m2 = similarity.probe_masks(4, 2)
+    assert len(m2) == 1 + 4 + 6 and len(set(m2)) == len(m2)
+    with pytest.raises(ValueError):
+        similarity.probe_masks(4, 3)

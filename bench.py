@@ -75,8 +75,8 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "16g")
-        .config("spark.driver.extraJavaOptions", "-Xms16g -XX:+AlwaysPreTouch")
+        .config("spark.driver.memory", "8g")
+        .config("spark.driver.extraJavaOptions", "-Xms8g -XX:+AlwaysPreTouch")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .getOrCreate()
     )
@@ -108,9 +108,10 @@ def main() -> None:
     # best-of-2 rides out a residual stall
     cooldown(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45")))
     eng, times["build_documents"] = None, float("inf")
-    for _ in range(2):
+    for rep in range(3):
         if eng is not None:
             eng.index.unpersist()
+            cooldown(15)  # partial refill between reps
         t0 = time.perf_counter()
         eng = PerlinEngine.build(
             spark, docs, [DOC_SPEC],
@@ -133,9 +134,10 @@ def main() -> None:
     warm.index.unpersist()
     cooldown(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45")) // 2)
     code_eng, times["build_code"] = None, float("inf")
-    for _ in range(2):
+    for rep in range(3):
         if code_eng is not None:
             code_eng.index.unpersist()
+            cooldown(15)
         t0 = time.perf_counter()
         code_eng = PerlinEngine.build(
             spark, code, code_specs(),

@@ -218,6 +218,19 @@ EMB_PAIR_THRESHOLD = 0.45  # sf0.01 corpus tops out at cos ~0.51
 EMB_PAIR_PLANES = 4  # pinned for the driver oracle
 
 
+IVF_CENTROIDS = 16  # pinned for the driver oracle
+IVF_NPROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.ivf_topk(
+        emb, list(qv), k=10, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        exclude_id=0,
+    )
+
+
 def q_emb_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_pairs_exact(
         _embeddings(spark, sf_dir), threshold=EMB_PAIR_THRESHOLD
@@ -357,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_simhash_near,
         "dedup_embedding_exact": q_emb_pairs_exact,
         "dedup_embedding_lsh": q_emb_pairs_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "golden_reference_suite": q_golden_reference,
         "ft_code_vocabulary": q_code_vocabulary,
         "ft_code_bm25_topk": q_code_bm25,
@@ -500,6 +514,33 @@ c AS (SELECT vec_id, list_cosine_similarity(e, (SELECT qv FROM q)) AS cos
 SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
 FROM c ORDER BY cos DESC, vec_id LIMIT {k}
 """
+
+
+def _ann_ivf_oracle(k: int = 10) -> str:
+    """Replicates ivf_topk: centroids are the vec_id < K rows of the SAME
+    table (fully derivable in SQL — no inlined constants), assignment is
+    the per-vector argmax (cos desc, cid asc), probes are the nprobe
+    nearest centroids to the query, exact rescore inside probed cells."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {IVF_CENTROIDS}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+asg AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(v, c) DESC, cid ASC) AS rn
+  FROM e, cent),
+cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_cosine_similarity(c, (SELECT qv FROM q)) DESC, cid ASC) AS rn
+    FROM cent) t
+  WHERE rn <= {IVF_NPROBE}),
+c AS (SELECT vec_id, list_cosine_similarity(v, (SELECT qv FROM q)) AS cos
+      FROM cells WHERE cell IN (SELECT cid FROM probes) AND vec_id <> 0)
+SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
 def _emb_pairs_oracle(
@@ -731,6 +772,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
         "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),
         "golden_reference_suite": _golden_oracle(),

@@ -275,3 +275,113 @@ def embedding_near_pairs(
         )
         .orderBy(F.desc("cos_x1e4"), "vec_a", "vec_b")
     )
+
+# --- IVF (inverted-file) ANN: coarse quantize -> probe cells -> rescore ---
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_centroids`` lowest vec_ids.
+    A seeded sample keeps the whole pipeline (and its oracle) reproducible;
+    on a real corpus you'd k-means these — the assignment/probe/rescore
+    machinery below is unchanged by how centroids are chosen."""
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+
+
+def ivf_cell_expr(centroids: list[tuple[int, list[float]]]):
+    """Column: nearest-centroid id (max cosine, ties to the LOWEST
+    centroid_id) for the ``embedding`` column.  The centroid table is tiny
+    (K rows, collected driver-side), so the argmax is inlined as a pure
+    map-side expression — assignment is a narrow pass, NO shuffle and no
+    join, exactly like :func:`lsh_bucket_expr`."""
+    en = _norm(F.col("embedding"))
+    scored = []
+    for cid, vec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        cn = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2)))
+        cos = _dot(F.col("embedding"), c) / (en * F.lit(cn))
+        scored.append(
+            F.struct(
+                cos.alias("cos"),
+                F.lit(-cid).cast("long").alias("neg_cid"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+        )
+    # struct comparison is field-order lexicographic: cos, then -cid
+    return F.array_max(F.array(*scored))["cid"]
+
+
+def _collect_centroids(embeddings: DataFrame, n_centroids: int) -> list[tuple[int, list[float]]]:
+    rows = ivf_centroids(embeddings, n_centroids).collect()
+    return sorted((r["centroid_id"], list(r["centroid"])) for r in rows)
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: list[tuple[int, list[float]]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid cells nearest the query (cosine desc, id
+    asc) — computed driver-side on the K-row centroid list."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    scored = []
+    for cid, vec in centroids:
+        c = np.asarray(vec, dtype=np.float64)
+        scored.append((-(c @ q) / (np.sqrt((c * c).sum()) * qn), cid))
+    scored.sort()
+    return sorted(cid for _, cid in scored[:nprobe])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN via an inverted-file (IVF) index: coarse-quantize every vector
+    to its nearest centroid cell (map-only expression), probe the
+    ``nprobe`` cells nearest the query, and pay exact cosine only inside
+    probed cells.  Expected scan fraction ~ nprobe / n_centroids.
+
+    At rest, materialize cells once with :func:`write_ivf_cells` and
+    query with :func:`ivf_topk_from_cells` (partition-pruned scans)."""
+    cents = _collect_centroids(embeddings, n_centroids)
+    probes = ivf_probe_cells(query_vec, cents, nprobe)
+    cands = embeddings.withColumn("cell", ivf_cell_expr(cents)).filter(
+        F.col("cell").isin(probes)
+    )
+    return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id)
+
+
+def write_ivf_cells(
+    embeddings: DataFrame, path: str, n_centroids: int = 16
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF table partitioned by cell; returns the centroid
+    list to persist alongside (it IS the index metadata).  The 100-TB
+    layout: each query reads only nprobe cell directories."""
+    cents = _collect_centroids(embeddings, n_centroids)
+    (
+        embeddings.withColumn("cell", ivf_cell_expr(cents))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_topk_from_cells(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a :func:`write_ivf_cells` table: the cell filter prunes the
+    parquet scan to the probed partitions."""
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    table = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id)

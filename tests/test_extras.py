@@ -221,3 +221,36 @@ def test_probe_masks():
     assert len(m2) == 1 + 4 + 6 and len(set(m2)) == len(m2)
     with pytest.raises(ValueError):
         similarity.probe_masks(4, 3)
+
+
+def test_ivf_topk_recall_and_at_rest(spark, tmp_path):
+    """IVF probe path finds the true neighbors on clustered data (the
+    query's cluster is covered by the probed cells), and the written
+    partitionBy(cell) layout returns the identical result."""
+    E = _clustered_embeddings(n_clusters=10, per_cluster=50)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(E)), "embedding": E.tolist()})
+    emb = spark.createDataFrame(pdf)
+
+    sims = E @ E.T
+    np.fill_diagonal(sims, -1)
+    recalls = []
+    rng = np.random.default_rng(3)
+    for q in rng.integers(0, len(E), 4):
+        brute = set(np.argsort(-sims[q])[:10].tolist())
+        got = similarity.ivf_topk(
+            emb, list(E[q]), k=10, n_centroids=32, nprobe=8, exclude_id=int(q)
+        ).collect()
+        recalls.append(len(brute & {r["vec_id"] for r in got}) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+
+    q = int(rng.integers(0, len(E)))
+    cents = similarity.write_ivf_cells(emb, str(tmp_path / "ivf"), n_centroids=32)
+    a = similarity.ivf_topk(
+        emb, list(E[q]), k=10, n_centroids=32, nprobe=8, exclude_id=q
+    ).collect()
+    b = similarity.ivf_topk_from_cells(
+        spark, str(tmp_path / "ivf"), cents, list(E[q]), k=10, nprobe=8, exclude_id=q
+    ).collect()
+    assert [(r["vec_id"], r["cos_x1e4"]) for r in a] == [
+        (r["vec_id"], r["cos_x1e4"]) for r in b
+    ]

@@ -66,3 +66,65 @@ def epoch_sink(
         )
 
     return sink
+
+
+def dedup_stream(stream: DataFrame, key_cols: list[str], order_col: str):
+    """EXACT streaming deduplication with keyed state
+    (``applyInPandasWithState``): the first-seen row per key is emitted,
+    every later arrival — same micro-batch or any later one — is dropped.
+    "First" is deterministic: the minimum ``order_col`` within the
+    earliest batch that contains the key.
+
+    State per key is one counter (16 bytes), so the state store scales to
+    billions of keys; keys hash-partition across executors.  This is the
+    streaming analog of ``extras.dedup.exact_dedup_stats`` for a
+    continuous ingest pipeline (dedup-before-index)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = stream.schema
+
+    def fn(key, pdfs, state):
+        (seen,) = state.get if state.exists else (0,)
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        n_new = sum(len(p) for p in rows)
+        if seen == 0 and n_new:
+            batch = pd.concat(rows, ignore_index=True)
+            yield batch.loc[[batch[order_col].idxmin()]]
+        state.update((seen + n_new,))
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, schema, "seen LONG", "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def windowed_doc_stats(
+    stream: DataFrame,
+    time_col: str = "event_time",
+    content_col: str = "text",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+):
+    """Per-event-time-window corpus stats (docs, tokens, avg doc length)
+    with a watermark bounding state for late data — the standard
+    Structured Streaming shape for monitoring an ingest pipeline."""
+    from pyspark.sql import functions as F
+
+    n_tokens = F.size(
+        F.filter(F.split(F.col(content_col), r"\s+"), lambda x: x != F.lit(""))
+    )
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).alias("n_tokens"),
+            F.avg(n_tokens).alias("avg_dl"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_docs",
+            "n_tokens",
+            "avg_dl",
+        )
+    )

@@ -12,6 +12,7 @@ from .analysis import FieldSpec, QueryPipeline, QuerySpec
 from .build import IndexData, assign_doc_ids, build_index
 from .engine import May, Must, MustNot, PerlinEngine
 from .epochs import add_field, build_epoch, list_epochs, load_index
+from .progress import ProgressEvent, report_progress
 from .hierarchy import Hierarchy
 
 __all__ = [
@@ -27,6 +28,8 @@ __all__ = [
     "May",
     "Hierarchy",
     "add_field",
+    "ProgressEvent",
+    "report_progress",
     "build_epoch",
     "list_epochs",
     "load_index",

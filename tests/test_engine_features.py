@@ -102,3 +102,22 @@ def test_hierarchy_query_expansion(spark):
         h.add_element("bird")  # duplicate
     with pytest.raises(ValueError):
         h.add_element("x", "unknown-parent")
+
+
+def test_report_progress_events(spark):
+    """Progress events stream while a scoped job runs: fractions within
+    [0,1], monotone task counts, and a final done=True event (the Spark
+    analog of the reference's Query::progress, src/query/mod.rs:148)."""
+    from perlin_spark.progress import report_progress
+
+    events = []
+    with report_progress(spark, events.append, interval=0.05):
+        spark.range(0, 2_000_000, 1, 16).selectExpr("sum(id * 2)").collect()
+        spark.range(0, 1_000_000, 1, 8).selectExpr("count(*)").collect()
+
+    assert events and events[-1].done
+    assert events[-1].tasks_total >= 24  # both jobs' stages counted
+    fr = [e.fraction for e in events]
+    assert all(0.0 <= f <= 1.0 for f in fr) and fr[-1] == 1.0
+    dones = [e.tasks_done for e in events]
+    assert dones == sorted(dones)

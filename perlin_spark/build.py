@@ -208,6 +208,9 @@ class IndexData:
     buckets: int | None = None
     _stats_map: dict | None = None
     _vocab_cache: dict | None = None
+    #: once-per-index broadcast of doc-length blobs keyed (field, shard)
+    #: (False = measured too big, use the per-query join path instead)
+    _dl_bc: object | None = None
     #: intermediate frames persisted during the build (merged postings,
     #: doc-id range partitions) — released by unpersist(); without this,
     #: repeated in-session builds leak cached blocks (r1 ADVICE)
@@ -223,6 +226,35 @@ class IndexData:
             df.unpersist()
         for df in self._persisted or ():
             df.unpersist()
+        if self._dl_bc not in (None, False):
+            self._dl_bc.unpersist()
+            self._dl_bc = None
+
+    #: dl blobs above this total size stay on the join path (a broadcast
+    #: this large would strain the driver; the blobs are ~2 bytes/doc, so
+    #: the cap covers ~250M docs per index shard-set)
+    DL_BROADCAST_MAX = 512 << 20
+
+    def dl_broadcast(self):
+        """Broadcast {(field, shard): [dl blobs]} ONCE per index (a
+        long-lived search service pays the doc-length shuffle one time,
+        not one broadcast-exchange job per query).  Returns None when the
+        measured size exceeds :data:`DL_BROADCAST_MAX` — callers fall back
+        to the per-query broadcast join."""
+        if self._dl_bc is None:
+            rows = self.doc_lens.select(
+                "field", "shard", "blob", F.length("blob").alias("sz")
+            ).collect()
+            if sum(r["sz"] for r in rows) > self.DL_BROADCAST_MAX:
+                self._dl_bc = False
+            else:
+                lookup: dict[tuple[str, int], list[bytes]] = {}
+                for r in rows:
+                    lookup.setdefault((r["field"], int(r["shard"])), []).append(
+                        bytes(r["blob"])
+                    )
+                self._dl_bc = self.spark.sparkContext.broadcast(lookup)
+        return None if self._dl_bc is False else self._dl_bc
 
     def stats_map(self) -> dict:
         if self._stats_map is None:

@@ -107,7 +107,7 @@ class _ShardScorer:
     """
 
     def __init__(self, k1: float, b: float, topk: int | None, prune: bool,
-                 ops: list[dict], n_groups: int, n_must: int):
+                 ops: list[dict], n_groups: int, n_must: int, dl_bc=None):
         self.k1 = k1
         self.b = b
         self.topk = topk
@@ -115,6 +115,9 @@ class _ShardScorer:
         self.ops = ops
         self.n_groups = n_groups
         self.n_must = n_must
+        #: once-per-index broadcast {(field, shard): [dl blobs]}; when set,
+        #: rows carry no dl_blob column (no per-query broadcast join)
+        self.dl_bc = dl_bc
 
     @staticmethod
     def _empty() -> pd.DataFrame:
@@ -126,24 +129,34 @@ class _ShardScorer:
         if not len(pdf):
             return self._empty()
 
-        # doc-length lookup per field (decoded once per shard; a group may
-        # carry several distinct dl blobs — one per epoch — merge them all)
+        # doc-length lookup per field (decoded once per shard; a field may
+        # have several dl blobs — one per epoch — merge them all)
         dl_lookup: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for field, grp in pdf.groupby("field", sort=False):
-            seen: set[bytes] = set()
-            ds, ts = [], []
-            for dl_blob in grp["dl_blob"]:
-                if dl_blob is None:
-                    continue
-                buf = bytes(dl_blob)
-                if buf in seen:
-                    continue
-                seen.add(buf)
-                d, t = codec.decode_postings(buf)
-                ds.append(d)
-                ts.append(t)
-            if ds:
-                dl_lookup[field] = _merge_sorted(ds, ts)
+        if self.dl_bc is not None:
+            shard = int(pdf["shard"].iloc[0])
+            for field in pdf["field"].unique():
+                blobs = self.dl_bc.value.get((field, shard), [])
+                if blobs:
+                    parts = [codec.decode_postings(b) for b in blobs]
+                    dl_lookup[field] = _merge_sorted(
+                        [p[0] for p in parts], [p[1] for p in parts]
+                    )
+        else:
+            for field, grp in pdf.groupby("field", sort=False):
+                seen: set[bytes] = set()
+                ds, ts = [], []
+                for dl_blob in grp["dl_blob"]:
+                    if dl_blob is None:
+                        continue
+                    buf = bytes(dl_blob)
+                    if buf in seen:
+                        continue
+                    seen.add(buf)
+                    d, t = codec.decode_postings(buf)
+                    ds.append(d)
+                    ts.append(t)
+                if ds:
+                    dl_lookup[field] = _merge_sorted(ds, ts)
 
         # collect each (field, term)'s blobs exactly once per (shard, epoch);
         # operands come from the closure metadata, but only for terms that
@@ -438,9 +451,10 @@ def search(
 
     Latency shape — ONE Spark job on the hot path: query metadata (idf,
     weights, group structure) rides the UDF closure instead of broadcast
-    joins; per-term idf comes from a driver-cached vocab lookup (its own
-    tiny job only on cache miss); bucket pruning is computed driver-side
-    (spark_hash.py) with no job at all.
+    joins; doc-length blobs ship once per INDEX via ``dl_broadcast`` (not
+    one broadcast-exchange job per query); per-term idf comes from a
+    driver-cached vocab lookup (its own tiny job only on cache miss);
+    bucket pruning is computed driver-side (spark_hash.py) with no job.
     """
     spark = index.spark
     ratios = {s.field: s.term_doc_ratio for s in index.specs}
@@ -481,21 +495,27 @@ def search(
         c = (F.col("field") == f) & F.col("term").isin(terms)
         cond = c if cond is None else (cond | c)
     matched = postings.filter(cond).select("field", "term", "shard", "epoch", "blob")
-    # postings and doc_lens share lineage (both views of the build output);
-    # re-aliasing every column gives the join fresh ExprIds, avoiding the
-    # ambiguous-self-join trap while staying a cheap (field, shard) equi-join
-    dls = index.doc_lens.filter(F.col("field").isin(fields_needed)).select(
-        F.col("field").alias("dl_field"),
-        F.col("shard").alias("dl_shard"),
-        F.col("blob").alias("dl_blob"),
-    )
-    matched = matched.join(
-        F.broadcast(dls),
-        (F.col("field") == F.col("dl_field")) & (F.col("shard") == F.col("dl_shard")),
-        "left",
-    )
+    dl_bc = index.dl_broadcast()
+    if dl_bc is None:
+        # fallback for indexes whose dl blobs exceed the broadcast cap:
+        # postings and doc_lens share lineage (both views of the build
+        # output); re-aliasing every column gives the join fresh ExprIds,
+        # avoiding the ambiguous-self-join trap while staying a cheap
+        # (field, shard) equi-join
+        dls = index.doc_lens.filter(F.col("field").isin(fields_needed)).select(
+            F.col("field").alias("dl_field"),
+            F.col("shard").alias("dl_shard"),
+            F.col("blob").alias("dl_blob"),
+        )
+        matched = matched.join(
+            F.broadcast(dls),
+            (F.col("field") == F.col("dl_field")) & (F.col("shard") == F.col("dl_shard")),
+            "left",
+        )
 
-    scorer = _ShardScorer(index.k1, index.b, k, prune, ops, n_groups, n_must)
+    scorer = _ShardScorer(
+        index.k1, index.b, k, prune, ops, n_groups, n_must, dl_bc=dl_bc
+    )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return scorer(pdf)

@@ -295,6 +295,40 @@ def _code_engine(spark: SparkSession, sf_dir: str) -> PerlinEngine:
     return eng
 
 
+IDENT_SPEC = FieldSpec(field="ident", source="text", tokenizer="code", lowercase=True)
+
+
+def _ident_engine(spark: SparkSession, sf_dir: str) -> PerlinEngine:
+    """Engine over identifier-bearing content: the 'code' tokenizer splits
+    camelCase/snake_case, so querying the identifier `readFileAsync` finds
+    documents mentioning its parts — the classic code-search feature."""
+    key = f"ident:{sf_dir}"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        docs = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(
+                F.lit("HTTPServer parseConfig "),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("readFileAsync "))
+                .otherwise(F.lit("")),
+                F.col("text"),
+            ),
+        )
+        eng = PerlinEngine.build(
+            spark, docs, [IDENT_SPEC],
+            pipeline=QueryPipeline(text_spec=IDENT_SPEC, text_combinator="all"),
+            n_shards=4,
+        ).cache()
+        _ENGINES[key] = eng
+    return eng
+
+
+def q_code_ident_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # query BY IDENTIFIER: 'readFileAsync' analyzes to [read, file, async]
+    # through the same pipeline, AND-combined, BM25-ranked
+    return _score_x1e4(_ident_engine(spark, sf_dir).search("readFileAsync", k=10))
+
+
 def q_code_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(field, term, df) under the code pipeline — gates the alphanumeric
     tokenizer + lowercase + u64 canonical routing end-to-end."""
@@ -372,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "golden_reference_suite": q_golden_reference,
+        "ft_code_ident_bm25": q_code_ident_bm25,
         "ft_code_vocabulary": q_code_vocabulary,
         "ft_code_bm25_topk": q_code_bm25,
         "ft_code_must_number": q_code_must_number,
@@ -484,6 +519,45 @@ sc AS (
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def _ident_bm25_oracle(k: int = 10) -> str:
+    """Replicates q_code_ident_bm25: the SAME two camel-boundary regexes
+    as analysis._split_arrow('code') run in DuckDB (both are RE2), then
+    alphanumeric extraction + lowercase; query 'readFileAsync' splits to
+    [read, file, async], AND-combined, BM25-ranked."""
+    return rf"""
+WITH src AS (
+  SELECT doc_id,
+         'HTTPServer parseConfig ' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'readFileAsync ' ELSE '' END ||
+         text AS content
+  FROM documents),
+itok AS (
+  SELECT doc_id, lower(t.tok) AS term
+  FROM src, unnest(regexp_extract_all(
+         regexp_replace(
+           regexp_replace(content, '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+           '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+         '[\p{{L}}\p{{N}}]+')) AS t(tok)),
+itf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM itok GROUP BY 1, 2),
+idl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM itf GROUP BY 1),
+ist AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+               (SELECT avg(dl) FROM idl)::DOUBLE AS avgdl),
+qt AS (SELECT unnest(['read', 'file', 'async']) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM itf JOIN qt USING (term) GROUP BY 1),
+cand AS (SELECT doc_id FROM itf JOIN qt USING (term)
+         GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+sc AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM ist) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM ist)))) AS score
+  FROM itf m JOIN qdf q USING (term) JOIN idl d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
 def _ann_lsh_oracle(dim: int = 64, k: int = 10) -> str:
@@ -780,6 +854,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 WITH {_TOK_CODE}
 SELECT field, term, count(DISTINCT doc_id)::BIGINT AS df
 FROM crouted GROUP BY 1, 2""",
+        "ft_code_ident_bm25": _ident_bm25_oracle(),
         "ft_code_bm25_topk": _bm25_code_oracle(["hash", "join"]),
         "ft_code_must_number": _bm25_code_oracle(["merge"], must_number="42"),
     }

@@ -46,6 +46,10 @@ _ALNUM_PATTERN = r"[^\W_]+"
 #: a Unicode letter/number are separators (underscore is neither, so it
 #: separates — same as ``[^\W_]+`` which is "word chars minus underscore")
 _ALNUM_SEP_RE2 = r"[^\p{L}\p{N}]+"
+# camelCase boundaries for the identifier-splitting 'code' tokenizer:
+# lower/digit->Upper, and acronym->CapWord (HTTPServer -> HTTP Server)
+_CAMEL_RE2_A = (r"([a-z0-9])([A-Z])", r"\1 \2")
+_CAMEL_RE2_B = (r"([A-Z]+)([A-Z][a-z])", r"\1 \2")
 
 
 @dataclass(frozen=True)
@@ -55,7 +59,7 @@ class FieldSpec:
 
     field: str                       # index field name
     source: str                      # corpus column analyzed into it
-    tokenizer: str = "whitespace"    # 'whitespace' | 'alphanumeric'
+    tokenizer: str = "whitespace"    # 'whitespace' | 'alphanumeric' | 'code'
     lowercase: bool = True
     stem: bool = False               # Snowball english
     stopwords: tuple = ()
@@ -80,6 +84,14 @@ def _split_arrow(arr: pa.Array, tokenizer: str) -> pa.Array:
         return pc.utf8_split_whitespace(arr)
     if tokenizer == "alphanumeric":
         return pc.split_pattern_regex(arr, pattern=_ALNUM_SEP_RE2)
+    if tokenizer == "code":
+        # identifier-aware: break camelCase humps, then split on
+        # non-alphanumeric (snake_case/kebab-case split for free) —
+        # HTTPServer -> [http, server], parse_config -> [parse, config];
+        # the same two regexes replicate 1:1 in the DuckDB oracle
+        s = pc.replace_substring_regex(arr, pattern=_CAMEL_RE2_A[0], replacement=_CAMEL_RE2_A[1])
+        s = pc.replace_substring_regex(s, pattern=_CAMEL_RE2_B[0], replacement=_CAMEL_RE2_B[1])
+        return pc.split_pattern_regex(s, pattern=_ALNUM_SEP_RE2)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

@@ -65,3 +65,23 @@ def test_query_pipeline_routing_and_combinators():
     groups = {(f, c): list(t) for f, c, t in q.groups}
     assert groups[("number", "any")] == ["10"]
     assert groups[("text", "all")] == ["bird", "flew"]
+
+
+def test_code_tokenizer_identifier_split():
+    """'code' tokenizer: camelCase humps, acronym runs, snake/kebab case
+    all split into searchable identifier parts (code-search feature for
+    the input_hint code payload)."""
+    import pandas as pd
+
+    from perlin_spark.analysis import tokenize
+
+    got = list(
+        tokenize(
+            pd.Series(["HTTPServer parse_config getValue2X foo-barBaz XMLHttpRequest"]),
+            "code",
+        )
+    )
+    assert got == [
+        "HTTP", "Server", "parse", "config", "get", "Value2", "X",
+        "foo", "bar", "Baz", "XML", "Http", "Request",
+    ]

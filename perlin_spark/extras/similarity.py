@@ -2,11 +2,13 @@
 
 Baseline: brute-force cosine top-k, fully JVM-side via higher-order
 functions (``aggregate``/``zip_with``) — one narrow pass over the
-embeddings table, then a k-row ordered take.  Scale path: LSH bucketing
-with deterministic hyperplanes so the candidate set shrinks to the query's
-bucket (+ optional hamming-1 probes) before exact rescoring; at 100 TB the
-bucket table would be written partitioned by ``bucket`` for partition
-pruning.
+embeddings table, then a k-row ordered take.  Scale paths: (a) LSH
+bucketing with deterministic hyperplanes, (b) an IVF index (coarse
+nearest-centroid cells + nprobe search); both shrink the candidate set
+before exact rescoring and both have a ``partitionBy`` at-rest layout so
+queries against the written table scan only probed partitions.  Also
+here: embedding-cosine near-duplicate PAIR detection (exact baseline +
+LSH-blocked candidate join) for dedup pipelines.
 """
 
 from __future__ import annotations
@@ -92,16 +94,7 @@ def probe_buckets(query_vec: list[float], n_planes: int, seed: int = LSH_SEED,
     planes = _hyperplanes(dim, n_planes, seed)
     qarr = np.asarray(query_vec, dtype=np.float64)
     q = int(sum((1 << i) for i in range(n_planes) if planes[i] @ qarr > 0))
-    probes = {q}
-    if probe_hamming >= 1:
-        probes |= {q ^ (1 << i) for i in range(n_planes)}
-    if probe_hamming >= 2:
-        probes |= {
-            q ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
-    return sorted(probes)
+    return sorted({q ^ m for m in probe_masks(n_planes, probe_hamming)})
 
 
 def lsh_cosine_topk(
@@ -223,6 +216,7 @@ def embedding_near_pairs(
     seed: int = LSH_SEED,
     probe_hamming: int = 1,
     target_bucket: int = 128,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-blocked: vectors are
     hyperplane-bucketed (seeded constants — deterministic), the a-side is
@@ -234,17 +228,32 @@ def embedding_near_pairs(
     <= probe_hamming planes); raise ``probe_hamming`` or lower
     ``n_planes`` to trade cost for recall, or use
     :func:`embedding_near_pairs_exact` when the corpus allows O(n^2).
-    At 100 TB the bucketed table would be written ``partitionBy(bucket)``
-    (see :func:`write_lsh_buckets`) so each bucket's join is
-    partition-local.  Mirrors the reference's duplicate-detection role
-    over an embedding column (no reference counterpart — LLM-pipeline
-    extra)."""
+    ``bucket_cap`` bounds the per-bucket join against mega-clusters of
+    near-identical vectors (dropped buckets are counted and logged, same
+    policy as ``dedup.minhash_lsh_pairs``).  At 100 TB the bucketed table
+    would be written ``partitionBy(bucket)`` (see
+    :func:`write_lsh_buckets`) so each bucket's join is partition-local.
+    Mirrors the reference's duplicate-detection role over an embedding
+    column (no reference counterpart — LLM-pipeline extra)."""
     dim = len(embeddings.select("embedding").first()["embedding"])
     if n_planes is None:
         n_planes = auto_n_planes(embeddings.count(), target_bucket)
     bucketed = embeddings.select(
         "vec_id", "embedding", lsh_bucket_expr(dim, n_planes, seed).alias("bucket")
     )
+    if bucket_cap is not None:
+        import logging
+
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        dropped = sizes.filter(F.col("_bsz") > bucket_cap).count()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "embedding_near_pairs: dropping %d buckets over cap=%d "
+                "(recall loss on mega near-dup clusters)", dropped, bucket_cap
+            )
+        bucketed = bucketed.join(
+            sizes.filter(F.col("_bsz") <= bucket_cap).select("bucket"), "bucket"
+        )
     masks = probe_masks(n_planes, probe_hamming)
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),

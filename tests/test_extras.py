@@ -254,3 +254,29 @@ def test_ivf_topk_recall_and_at_rest(spark, tmp_path):
     assert [(r["vec_id"], r["cos_x1e4"]) for r in a] == [
         (r["vec_id"], r["cos_x1e4"]) for r in b
     ]
+
+
+def test_embedding_near_pairs_bucket_cap(spark, caplog):
+    """A mega-cluster of near-identical vectors is dropped (and logged)
+    when its bucket exceeds the cap — bounding the O(m^2) candidate join
+    the same way minhash_lsh_pairs does."""
+    import logging
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    mega = base + rng.standard_normal((40, 64)) * 1e-3   # one huge cluster
+    rest = rng.standard_normal((20, 64))                 # background noise
+    E = np.vstack([mega, rest])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(E)), "embedding": E.tolist()})
+    emb = spark.createDataFrame(pdf)
+
+    uncapped = similarity.embedding_near_pairs(
+        emb, threshold=0.99, n_planes=4, probe_hamming=0
+    ).count()
+    assert uncapped > 0
+    with caplog.at_level(logging.WARNING):
+        capped = similarity.embedding_near_pairs(
+            emb, threshold=0.99, n_planes=4, probe_hamming=0, bucket_cap=10
+        ).count()
+    assert capped < uncapped
+    assert any("dropping" in r.message for r in caplog.records)

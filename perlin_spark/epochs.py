@@ -31,6 +31,12 @@ functions are pure.  Staging is deleted at commit.
 Multi-epoch reads: ``load_index`` unions all committed epochs; doc-id
 ranges never overlap across epochs (each epoch's ids start above the
 previous max), and the scorer merges per-(term, shard, epoch) blobs.
+
+Maintenance: ``compact_epochs`` merges all committed epochs into one
+(byte-splice per posting group, atomic rename, inputs deleted) so
+query-time epoch fan-in stays O(1) under continuous ingest.  Compacted
+shards aggregate same-label shards across epochs; if shards outgrow the
+per-shard budget after many compactions, rebuild with larger n_shards.
 """
 
 from __future__ import annotations
@@ -84,6 +90,9 @@ def _write_manifest(edir: str, manifest: dict) -> None:
 
 
 def list_epochs(root: str) -> list[int]:
+    """Committed epochs, excluding any consumed by a committed compaction
+    (``compact_epochs`` deletes its inputs, but a crash between commit and
+    cleanup must not double-count them)."""
     if not os.path.isdir(root):
         return []
     out = []
@@ -92,7 +101,12 @@ def list_epochs(root: str) -> list[int]:
             os.path.join(root, name, SUCCESS)
         ):
             out.append(int(name.split("=", 1)[1]))
-    return sorted(out)
+    consumed: set[int] = set()
+    for e in out:
+        m = _read_manifest(_epoch_dir(root, e))
+        if m:
+            consumed.update(int(x) for x in m.get("compacted_from", []))
+    return sorted(e for e in out if e not in consumed)
 
 
 def build_epoch(
@@ -500,3 +514,189 @@ def load_index(
     )
     idx.buckets = int(params["buckets"])
     return idx
+
+
+def compact_epochs(
+    spark: SparkSession,
+    root: str,
+    *,
+    num_partitions: int | None = None,
+    delete_old: bool = True,
+) -> int | None:
+    """Merge ALL committed epochs into one consolidated epoch.
+
+    Streaming ingest (one epoch per micro-batch) and repeated
+    ``build_epoch`` calls accumulate many small epochs; every query then
+    unions N postings datasets and the scorer merges N blobs per (term,
+    shard).  Compaction byte-SPLICES each (bucket, field, term, shard)
+    group's blobs in epoch order — doc-id ranges are disjoint and
+    ascending across epochs by construction, so no decode happens
+    (``codec.splice_blobs``) — and re-derives vocabulary/doc_lens exactly
+    like a fresh commit.  This is the maintenance operation that keeps
+    query-time epoch fan-in O(1) under continuous ingest.
+
+    Crash safety: everything is written to ``epoch={N}.compacting`` and
+    atomically renamed into place AFTER ``_EPOCH_SUCCESS`` exists inside;
+    the manifest's ``compacted_from`` makes ``list_epochs`` skip the
+    consumed epochs even if cleanup is interrupted.  Returns the new
+    epoch id, or None when there is nothing to compact."""
+    import shutil
+
+    import pandas as pd
+
+    epochs = list_epochs(root)
+    if len(epochs) < 2:
+        return None
+    manifests = {e: _read_manifest(_epoch_dir(root, e)) for e in epochs}
+    base = manifests[epochs[0]]["params"]
+    for e in epochs[1:]:
+        p = manifests[e]["params"]
+        # bucket modulus is baked into the partition layout; k1/b are the
+        # index's pinned scoring params.  chunk/min_doc_id/n_shards are
+        # epoch-local by design (shard is just a grouping label) and
+        # block_size only affects how blobs were originally blocked.
+        for key in ("buckets", "k1", "b"):
+            if p[key] != base[key]:
+                raise ValueError(
+                    f"epoch {e} was built with {key}={p[key]} != {base[key]}; "
+                    "compaction requires a uniform layout"
+                )
+    # splice order is epoch order, valid only if doc-id ranges ascend
+    # across doc epochs (always true for assigned ids; caller-supplied
+    # doc_id columns could violate it -> fail loudly, never corrupt)
+    prev_max = -1
+    for e in epochs:
+        if manifests[e].get("field_only"):
+            continue
+        mn = int(manifests[e]["params"]["min_doc_id"])
+        if mn <= prev_max:
+            raise ValueError(
+                f"epoch {e} doc ids start at {mn}, not above the previous "
+                f"epoch's max {prev_max}; compaction needs disjoint "
+                "ascending doc-id ranges"
+            )
+        prev_max = int(manifests[e]["max_doc_id"])
+
+    new_epoch = max(epochs) + 1
+    tmp = os.path.join(root, f"epoch={new_epoch}.compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    parts = None
+    for e in epochs:
+        p = spark.read.parquet(
+            os.path.join(_epoch_dir(root, e), "postings")
+        ).withColumn("epoch", F.lit(e))
+        parts = p if parts is None else parts.unionByName(p)
+    out_schema = parts.drop("epoch").schema
+
+    def splice(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            merged_rows = []
+            for (bkt, field, term, shard), grp in pdf.groupby(
+                ["bucket", "field", "term", "shard"], sort=False
+            ):
+                if len(grp) == 1:
+                    merged_rows.append(grp.drop(columns=["epoch"]))
+                    continue
+                grp = grp.sort_values("epoch")
+                blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
+                merged_rows.append(
+                    pd.DataFrame(
+                        {
+                            "field": [field],
+                            "term": [term],
+                            "shard": [shard],
+                            "df": [int(grp["df"].sum())],
+                            "max_tf": [int(grp["max_tf"].max())],
+                            "blob": [blob],
+                            "bucket": [bkt],
+                        }
+                    )
+                )
+            yield pd.concat(merged_rows, ignore_index=True)
+
+    shuffle_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    compacted = (
+        parts.repartition(shuffle_parts, "field", "term")
+        .sortWithinPartitions("bucket", "field", "term", "shard", "epoch")
+        .mapInPandas(splice, out_schema)
+    )
+    compacted.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(tmp, "postings")
+    )
+
+    all_rows = spark.read.schema(out_schema).parquet(os.path.join(tmp, "postings"))
+    (
+        all_rows.filter(F.col("term") != DL_MARKER)
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "vocabulary"))
+    )
+    (
+        all_rows.filter(F.col("term") == DL_MARKER)
+        .select("field", "shard", F.col("df").alias("n_docs"), "blob")
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "doc_lens"))
+    )
+
+    docs = None
+    for e in epochs:
+        if manifests[e].get("field_only"):
+            continue  # field epochs reuse the base docs
+        d = spark.read.parquet(os.path.join(_epoch_dir(root, e), "docs"))
+        docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+
+    lineage = {
+        str(int(r["bucket"])): {
+            "status": "done",
+            "rows": int(r["rows"]),
+            "term_count": int(r["terms"]),
+            "posting_count": int(r["postings"]),
+        }
+        for r in all_rows.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("term").alias("terms"),
+            F.sum("df").alias("postings"),
+        ).collect()
+    }
+    for b in range(int(base["buckets"])):
+        lineage.setdefault(str(b), {"status": "done", "rows": 0,
+                                    "term_count": 0, "posting_count": 0})
+    seen_fields: set[str] = set()
+    specs = []
+    for e in epochs:
+        for s in manifests[e].get("specs", []):
+            if s["field"] not in seen_fields:
+                seen_fields.add(s["field"])
+                specs.append(s)
+    params_out = dict(base)
+    # shard labels union across epochs; size the pandas stage for them
+    params_out["n_shards"] = max(int(manifests[e]["params"]["n_shards"]) for e in epochs)
+    manifest = {
+        "epoch": new_epoch,
+        "created_unix": int(time.time()),
+        "committed_unix": int(time.time()),
+        "params": params_out,
+        "specs": specs,
+        "n_docs": sum(int(manifests[e]["n_docs"]) for e in epochs),
+        "max_doc_id": int(manifests[epochs[-1]]["max_doc_id"]),
+        "buckets": lineage,
+        "doc_count_total": sum(int(manifests[e]["n_docs"]) for e in epochs),
+        "term_count_total": sum(v["term_count"] for v in lineage.values()),
+        "compacted_from": epochs,
+    }
+    _write_manifest(tmp, manifest)
+    with open(os.path.join(tmp, SUCCESS), "w") as f:
+        f.write("ok\n")
+    os.replace(tmp, _epoch_dir(root, new_epoch))  # atomic commit
+    if delete_old:
+        for e in epochs:
+            shutil.rmtree(_epoch_dir(root, e), ignore_errors=True)
+    return new_epoch

@@ -144,3 +144,63 @@ def test_manifest_lineage(spark, tmp_path):
     total_rows = idx.postings.count() + idx.doc_lens.count()
     assert sum(b["rows"] for b in m["buckets"].values()) == total_rows
     assert m["params"]["k1"] == 1.2 and m["params"]["b"] == 0.75
+
+
+def test_compact_epochs_preserves_results(spark, tmp_path):
+    """Three epochs (two doc batches + one add_field) compact into ONE
+    epoch with identical search results, summed stats, and the inputs
+    deleted; a crash between commit and cleanup cannot double-count
+    (list_epochs skips compacted_from)."""
+    import pandas as pd
+
+    from perlin_spark import (
+        FieldSpec, PerlinEngine, QueryPipeline, add_field, build_epoch,
+        compact_epochs, list_epochs, load_index,
+    )
+
+    root = str(tmp_path / "cidx")
+    spec = FieldSpec(field="text", source="text")
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta", "beta gamma"],
+                      "title": ["t one", "t two"]})
+    )
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3], "text": ["gamma delta alpha", "alpha delta"],
+                      "title": ["t three", "t four"]})
+    )
+    build_epoch(spark, b1, [spec], root, content_col="text", n_shards=2, buckets=2)
+    build_epoch(spark, b2, [spec], root, content_col="text", n_shards=2, buckets=2)
+    add_field(spark, root, [FieldSpec(field="title", source="title")])
+    assert list_epochs(root) == [0, 1, 2]
+
+    pl = QueryPipeline(text_spec=spec)
+    eng = PerlinEngine(load_index(spark, root), pl)
+    before = {
+        q: [(r["doc_id"], r["score"]) for r in eng.search(q, k=10).collect()]
+        for q in ["alpha", "beta gamma", "delta"]
+    }
+    before_stats = eng.index.stats_map()
+
+    new_e = compact_epochs(spark, root)
+    assert new_e == 3
+    assert list_epochs(root) == [3]
+    import os
+    assert not os.path.exists(os.path.join(root, "epoch=0"))
+
+    idx = load_index(spark, root)
+    eng2 = PerlinEngine(idx, pl)
+    after = {
+        q: [(r["doc_id"], r["score"]) for r in eng2.search(q, k=10).collect()]
+        for q in ["alpha", "beta gamma", "delta"]
+    }
+    assert after == before
+    assert eng2.index.stats_map() == before_stats
+    assert idx.n_docs == 4
+    # the added field survives compaction
+    got = [r["doc_id"] for r in eng2.search(
+        "three", k=10,
+        pipeline=QueryPipeline(text_spec=FieldSpec(field="title", source="title")),
+    ).collect()]
+    assert got == [2]
+    # idempotent no-op on a single epoch
+    assert compact_epochs(spark, root) is None

@@ -181,15 +181,26 @@ def main() -> None:
     samples.sort()
     p95_ms = samples[int(len(samples) * 0.95) - 1] * 1000
 
-    # --- extras headliners ----------------------------------------------------
-    t0 = time.perf_counter()
-    dedup.minhash_lsh_pairs(docs, threshold=0.12).count()
-    times["dedup_minhash_lsh"] = time.perf_counter() - t0
+    # --- extras headliners (same steady-state policy: warm, best-of-2) ------
+    dedup.minhash_lsh_pairs(docs, threshold=0.12).count()  # warm
+    times["dedup_minhash_lsh"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dedup.minhash_lsh_pairs(docs, threshold=0.12).count()
+        times["dedup_minhash_lsh"] = min(
+            times["dedup_minhash_lsh"], time.perf_counter() - t0
+        )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb.cache().count()
     qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
-    t0 = time.perf_counter()
-    similarity.cosine_topk(emb, qv, k=10, exclude_id=0).collect()
-    times["ann_cosine_topk"] = time.perf_counter() - t0
+    similarity.cosine_topk(emb, qv, k=10, exclude_id=0).collect()  # warm
+    times["ann_cosine_topk"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        similarity.cosine_topk(emb, qv, k=10, exclude_id=0).collect()
+        times["ann_cosine_topk"] = min(
+            times["ann_cosine_topk"], time.perf_counter() - t0
+        )
 
     total = time.perf_counter() - t_total0 - sleep_total
     out = {

@@ -691,6 +691,21 @@ def compact_epochs(
         "doc_count_total": sum(int(manifests[e]["n_docs"]) for e in epochs),
         "term_count_total": sum(v["term_count"] for v in lineage.values()),
         "compacted_from": epochs,
+        # replay-safety survives compaction: the streaming sink checks
+        # these ids, so a crash-replayed micro-batch whose epoch was
+        # already compacted is still recognized as committed
+        "stream_batch_ids": sorted(
+            {
+                int(b)
+                for e in epochs
+                for b in (
+                    [manifests[e]["stream_batch_id"]]
+                    if "stream_batch_id" in manifests[e]
+                    else []
+                )
+                + list(manifests[e].get("stream_batch_ids", []))
+            }
+        ),
     }
     _write_manifest(tmp, manifest)
     with open(os.path.join(tmp, SUCCESS), "w") as f:

@@ -29,8 +29,13 @@ def epoch_sink(
     content_col: str | None = None,
     n_shards: int = 8,
     buckets: int = 8,
+    compact_every: int | None = None,
 ):
     """Returns a foreachBatch function: one committed epoch per micro-batch.
+
+    ``compact_every=N`` folds accumulated epochs into one whenever N or
+    more are committed (``epochs.compact_epochs``), keeping query-time
+    epoch fan-in O(1) on a long-running stream instead of O(batches).
 
     Wire up::
 
@@ -39,14 +44,19 @@ def epoch_sink(
              .option("checkpointLocation", f"{root}/_stream_checkpoint")
              .start())
     """
+    from .epochs import compact_epochs
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # replay-safety: if this batch_id already committed, skip
+        # (compacted epochs carry the union of consumed ids forward)
         for e in list_epochs(root):
             m = _read_manifest(_epoch_dir(root, e))
-            if m and m.get("stream_batch_id") == batch_id:
+            if m and (
+                m.get("stream_batch_id") == batch_id
+                or batch_id in m.get("stream_batch_ids", [])
+            ):
                 return
         # the stream batch id rides the manifest itself (written atomically,
         # and present BEFORE _EPOCH_SUCCESS) — no post-commit stamp, so
@@ -64,6 +74,10 @@ def epoch_sink(
             buckets=buckets,
             extra_manifest={"stream_batch_id": batch_id},
         )
+        if compact_every is not None and len(list_epochs(root)) >= compact_every:
+            # the compacted manifest carries the consumed epochs'
+            # stream_batch_ids, so replay-safety survives compaction
+            compact_epochs(batch_df.sparkSession, root)
 
     return sink
 

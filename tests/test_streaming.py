@@ -125,3 +125,50 @@ def test_windowed_doc_stats(spark, tmp_path):
         "2026-01-01 00:00:00": (2, 5),
         "2026-01-01 00:01:00": (1, 1),
     }
+
+
+def test_stream_compact_every(spark, tmp_path):
+    """compact_every folds micro-batch epochs as the stream runs; results
+    and replay markers survive compaction (a replayed batch id is still
+    recognized as committed via the compacted manifest)."""
+    from perlin_spark import compact_epochs, load_index
+    from perlin_spark.epochs import _epoch_dir, _read_manifest
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    root = str(tmp_path / "cidx")
+    for i, texts in enumerate([["alpha beta"], ["beta gamma"], ["alpha delta"]]):
+        pd.DataFrame(
+            {"doc_id": [i], "text": texts}
+        ).to_parquet(src / f"{chr(97 + i)}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            epoch_sink([SPEC], root, content_col="text", n_shards=2, buckets=2,
+                       compact_every=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    epochs = list_epochs(root)
+    assert len(epochs) <= 2  # compaction folded the stream's epochs
+    idx = load_index(spark, root)
+    assert idx.n_docs == 3
+    eng = PerlinEngine(idx, QueryPipeline(text_spec=SPEC))
+    assert [r["doc_id"] for r in eng.search("alpha", k=10).collect()] == [0, 2]
+    # every committed batch id is still discoverable post-compaction
+    seen: set[int] = set()
+    for e in epochs:
+        m = _read_manifest(_epoch_dir(root, e))
+        if "stream_batch_id" in m:
+            seen.add(int(m["stream_batch_id"]))
+        seen.update(int(x) for x in m.get("stream_batch_ids", []))
+    assert seen == {0, 1, 2}

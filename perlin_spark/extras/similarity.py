@@ -365,12 +365,19 @@ def ivf_topk(
 
 
 def write_ivf_cells(
-    embeddings: DataFrame, path: str, n_centroids: int = 16
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF table partitioned by cell; returns the centroid
     list to persist alongside (it IS the index metadata).  The 100-TB
-    layout: each query reads only nprobe cell directories."""
-    cents = _collect_centroids(embeddings, n_centroids)
+    layout: each query reads only nprobe cell directories.  Pass
+    ``centroids`` (e.g. from :func:`ivf_kmeans_centroids`) to use refined
+    cells instead of the seeded sample."""
+    cents = centroids if centroids is not None else _collect_centroids(
+        embeddings, n_centroids
+    )
     (
         embeddings.withColumn("cell", ivf_cell_expr(cents))
         .write.mode("overwrite")
@@ -394,3 +401,40 @@ def ivf_topk_from_cells(
     probes = ivf_probe_cells(query_vec, centroids, nprobe)
     table = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id)
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int, iters: int = 5
+) -> list[tuple[int, list[float]]]:
+    """Refine the seeded sample centroids with Lloyd iterations, entirely
+    as DataFrame ops: assign (map-only inlined argmax, no shuffle) ->
+    per-cell mean (one groupBy per iteration).  Deterministic: init is
+    :func:`ivf_centroids` (lowest vec_ids) and every step is a pure
+    aggregation.  Returns the centroid list for :func:`ivf_topk`-style
+    probing via :func:`write_ivf_cells`/:func:`ivf_topk_from_cells`.
+
+    Empty cells keep their previous centroid (standard Lloyd handling).
+    Cost per iteration is one narrow pass + one shuffle of n rows to K
+    groups — at 100 TB you would sample the assignment input; the
+    structure is unchanged."""
+    cents = _collect_centroids(embeddings, n_centroids)
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = embeddings.select(
+            "embedding", ivf_cell_expr(cents).alias("cell")
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = dict(cents)
+        for r in means:
+            new[int(r["cell"])] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = sorted(new.items())
+    return [(cid, list(vec)) for cid, vec in cents]

@@ -280,3 +280,34 @@ def test_embedding_near_pairs_bucket_cap(spark, caplog):
         ).count()
     assert capped < uncapped
     assert any("dropping" in r.message for r in caplog.records)
+
+
+def test_ivf_kmeans_refinement_improves_assignment(spark, tmp_path):
+    """Lloyd-refined centroids fit clustered data far better than the
+    seeded sample (mean best-cell cosine), and the refined cells work
+    through the written partitionBy(cell) layout end-to-end."""
+    E = _clustered_embeddings(n_clusters=10, per_cluster=40)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(E)), "embedding": E.tolist()})
+    emb = spark.createDataFrame(pdf)
+
+    def mean_best_cos(cs):
+        C = np.array([v for _, v in cs])
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float((E @ C.T).max(axis=1).mean())
+
+    sample = similarity._collect_centroids(emb, 10)
+    refined = similarity.ivf_kmeans_centroids(emb, 10, iters=3)
+    assert mean_best_cos(refined) > mean_best_cos(sample) + 0.1
+
+    cents = similarity.write_ivf_cells(
+        emb, str(tmp_path / "ivfk"), centroids=refined
+    )
+    q = 123
+    got = similarity.ivf_topk_from_cells(
+        spark, str(tmp_path / "ivfk"), cents, list(E[q]), k=10, nprobe=3,
+        exclude_id=q,
+    ).collect()
+    sims = E @ E[q]
+    sims[q] = -1
+    brute = set(np.argsort(-sims)[:10].tolist())
+    assert len(brute & {r["vec_id"] for r in got}) >= 9

@@ -1,0 +1,67 @@
+"""spark-submit entry point: BM25 search against a persisted index.
+
+Usage::
+
+    cd /root/repo && zip -r /tmp/perlin_spark.zip perlin_spark
+    spark-submit --py-files /tmp/perlin_spark.zip jobs/search.py \
+        --index /path/to/index_root --query "hash join" --k 10 \
+        [--field content] [--combinator all|any] \
+        [--must field:term ...] [--must-not field:term ...] \
+        [--output /path/to/results_parquet]
+
+Prints the top-k (doc_id, score) to stdout; ``--output`` additionally
+writes the full ranked result as parquet (for pipeline consumption).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--field", default=None, help="text field (default: first spec)")
+    p.add_argument("--combinator", choices=["all", "any"], default="all")
+    p.add_argument("--must", action="append", default=[], metavar="FIELD:TERM")
+    p.add_argument("--must-not", action="append", default=[], metavar="FIELD:TERM")
+    p.add_argument("--output", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    from pyspark.sql import SparkSession
+
+    from perlin_spark import Must, MustNot, PerlinEngine, QueryPipeline, load_index
+
+    spark = SparkSession.builder.appName("perlin-spark-search").getOrCreate()
+    idx = load_index(spark, args.index)
+    spec = next(
+        (s for s in idx.specs if args.field is None or s.field == args.field), None
+    )
+    if spec is None:
+        raise SystemExit(f"field {args.field!r} not in index ({[s.field for s in idx.specs]})")
+    eng = PerlinEngine(idx, QueryPipeline(text_spec=spec, text_combinator=args.combinator))
+
+    filters = []
+    for raw in args.must:
+        f, t = raw.split(":", 1)
+        filters.append(Must(f, t))
+    for raw in args.must_not:
+        f, t = raw.split(":", 1)
+        filters.append(MustNot(f, t))
+
+    result = eng.search(args.query, k=args.k, filters=filters)
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+    for r in result.collect():
+        print(f"{r['doc_id']}\t{r['score']:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

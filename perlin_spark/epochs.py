@@ -191,6 +191,15 @@ def build_epoch(
         n_docs = int(bounds["n"] or 0)
         max_id = int(bounds["mx"]) if bounds["mx"] is not None else -1
         min_id = int(bounds["mn"]) if bounds["mn"] is not None else 0
+        if doc_id_col is not None and n_docs and min_id < base_doc_id:
+            # caller-supplied ids colliding with an earlier epoch would
+            # silently index the same doc_id twice (duplicate results,
+            # uncompactable); assigned ids (doc_id_col=None) never collide
+            raise ValueError(
+                f"epoch {epoch} doc ids start at {min_id}, overlapping the "
+                f"committed epochs' range (next free id: {base_doc_id}); "
+                "use doc_id_col=None with order_cols, or disjoint ids"
+            )
         if n_shards is None:
             from .build import auto_n_shards
 

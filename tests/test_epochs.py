@@ -204,3 +204,27 @@ def test_compact_epochs_preserves_results(spark, tmp_path):
     assert got == [2]
     # idempotent no-op on a single epoch
     assert compact_epochs(spark, root) is None
+
+
+def test_build_epoch_rejects_overlapping_doc_ids(spark, tmp_path):
+    """Appending an epoch whose caller-supplied doc ids collide with a
+    committed epoch must fail loudly — silently indexing the same doc_id
+    twice duplicates results and breaks compaction."""
+    import pandas as pd
+    import pytest as pt
+
+    from perlin_spark import FieldSpec, build_epoch
+
+    root = str(tmp_path / "oidx")
+    spec = FieldSpec(field="text", source="text")
+    b = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "b c"]}))
+    build_epoch(spark, b, [spec], root, n_shards=2, buckets=2)
+    with pt.raises(ValueError, match="overlapping"):
+        build_epoch(spark, b, [spec], root, n_shards=2, buckets=2)
+    # disjoint ids append fine — resuming the pending epoch the failed
+    # attempt left behind (stage-1 re-stages from the corrected corpus)
+    b2 = spark.createDataFrame(pd.DataFrame({"doc_id": [2, 3], "text": ["c d", "a d"]}))
+    assert build_epoch(spark, b2, [spec], root, n_shards=2, buckets=2) == 1
+    from perlin_spark import load_index
+
+    assert load_index(spark, root).n_docs == 4

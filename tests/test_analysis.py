@@ -85,3 +85,39 @@ def test_code_tokenizer_identifier_split():
         "HTTP", "Server", "parse", "config", "get", "Value2", "X",
         "foo", "bar", "Baz", "XML", "Http", "Request",
     ]
+
+
+def test_code_tokenizer_matches_duckdb_oracle_property():
+    """Property: the Arrow-kernel 'code' tokenizer and the DuckDB SQL the
+    driver oracle uses (same two RE2 regexes + alnum extraction +
+    lowercase) agree on arbitrary identifier soup — the cross-engine
+    parity that makes ft_code_ident_bm25 hash-gateable."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from perlin_spark.analysis import tokenize
+
+    ident_chars = st.sampled_from(
+        list("abcXYZ_09 -.") + ["HTTP", "Server", "getX", "p_q", "2Fast"]
+    )
+    texts = st.lists(ident_chars, min_size=0, max_size=30).map("".join)
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(s):
+        spark_side = [t.lower() for t in tokenize(pd.Series([s]), "code")]
+        (sql_side,) = con.execute(
+            r"""SELECT list_transform(regexp_extract_all(
+                 regexp_replace(
+                   regexp_replace(?, '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+                   '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+                 '[\p{L}\p{N}]+'), t -> lower(t))""",
+            [s],
+        ).fetchone()
+        assert spark_side == list(sql_side), s
+
+    check()

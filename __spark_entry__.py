@@ -154,6 +154,13 @@ def q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(eng.search("dup stream vector", k=10, pipeline=pl))
 
 
+def q_bm25_may(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from perlin_spark.engine import May
+
+    eng = _engine(spark, sf_dir)
+    return _score_x1e4(eng.search("merge", k=10, filters=[May("text", "dup")]))
+
+
 def q_must_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return _score_x1e4(eng.search("merge", k=10, filters=[Must("text", "dup")]))
@@ -389,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and_topk": q_bm25_and,
         "ft_bm25_or_topk": q_bm25_or,
         "ft_must_filter": q_must_filter,
+        "ft_bm25_may": q_bm25_may,
         "ft_must_not": q_must_not,
         "ft_boolean_and_set": q_boolean_and_set,
         "dedup_exact": q_dedup_exact,
@@ -431,8 +439,11 @@ stv AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
 
 
 def _bm25_oracle(terms: list[str], conj: bool, k: int = 10,
-                 must: list[str] | None = None, must_not: list[str] | None = None) -> str:
+                 must: list[str] | None = None, must_not: list[str] | None = None,
+                 may: list[str] | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
+    # May terms score (same BM25 formula) but never gate candidacy
+    slist = ", ".join(f"'{t}'" for t in sorted(set(terms) | set(may or [])))
     having = (
         "HAVING count(DISTINCT term) = (SELECT count(DISTINCT term) FROM qt)" if conj else ""
     )
@@ -449,7 +460,8 @@ def _bm25_oracle(terms: list[str], conj: bool, k: int = 10,
     return f"""
 WITH {_TOK},
 qt AS (SELECT unnest([{tlist}]) AS term),
-qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt USING (term) GROUP BY 1),
+qs AS (SELECT unnest([{slist}]) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qs USING (term) GROUP BY 1),
 cand AS (SELECT doc_id FROM tfv JOIN qt USING (term) GROUP BY doc_id {having}),
 cand2 AS (SELECT doc_id FROM cand WHERE TRUE {must_sql}),
 sc AS (
@@ -741,6 +753,7 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""",
         "ft_bm25_and_topk": _bm25_oracle(["hash", "join"], conj=True),
         "ft_bm25_or_topk": _bm25_oracle(["dup", "stream", "vector"], conj=False),
         "ft_must_filter": _bm25_oracle(["merge"], conj=True, must=["dup"]),
+        "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_boolean_and_set": f"""
 WITH {_TOK}

@@ -201,6 +201,20 @@ def main() -> None:
         times["ann_cosine_topk"] = min(
             times["ann_cosine_topk"], time.perf_counter() - t0
         )
+    # IVF measured at rest (cells written once at index-build time; the
+    # query is a partition-pruned scan + rescore — the production shape)
+    ivf_path = "/tmp/perlin_bench_ivf"
+    cents = similarity.write_ivf_cells(emb, ivf_path, n_centroids=16)
+    similarity.ivf_topk_from_cells(
+        spark, ivf_path, cents, qv, k=10, nprobe=4, exclude_id=0
+    ).collect()  # warm
+    times["ann_ivf_topk"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        similarity.ivf_topk_from_cells(
+            spark, ivf_path, cents, qv, k=10, nprobe=4, exclude_id=0
+        ).collect()
+        times["ann_ivf_topk"] = min(times["ann_ivf_topk"], time.perf_counter() - t0)
 
     total = time.perf_counter() - t_total0 - sleep_total
     out = {

@@ -14,6 +14,7 @@ LSH-blocked candidate join) for dedup pipelines.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 LSH_PLANES = 4  # 16 buckets; scale by log2(n_vectors / target_bucket_size)
@@ -326,6 +327,32 @@ def _collect_centroids(embeddings: DataFrame, n_centroids: int) -> list[tuple[in
     return sorted((r["centroid_id"], list(r["centroid"])) for r in rows)
 
 
+def ivf_cell_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow-batched nearest-centroid assignment: one normalized matmul
+    per batch against the K x dim centroid matrix riding the closure.
+    Same semantics as :func:`ivf_cell_expr` (max cosine, ties to lowest
+    centroid_id — numpy argmax returns the first maximum), but the plan
+    stays tiny: the inlined-literal expression costs Catalyst ~K x dim
+    literals of analysis PER QUERY, which dominates latency beyond a
+    handful of centroids."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.array([vec for _, vec in centroids], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("long")
+    def assign(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="int64")
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        best = np.argmax(Xn @ Cn.T, axis=1)  # first max = lowest cid on tie
+        return pd.Series(cids[best])
+
+    return assign
+
+
 def ivf_probe_cells(
     query_vec: list[float], centroids: list[tuple[int, list[float]]], nprobe: int
 ) -> list[int]:
@@ -358,7 +385,8 @@ def ivf_topk(
     query with :func:`ivf_topk_from_cells` (partition-pruned scans)."""
     cents = _collect_centroids(embeddings, n_centroids)
     probes = ivf_probe_cells(query_vec, cents, nprobe)
-    cands = embeddings.withColumn("cell", ivf_cell_expr(cents)).filter(
+    assign = ivf_cell_udf(cents)
+    cands = embeddings.withColumn("cell", assign(F.col("embedding"))).filter(
         F.col("cell").isin(probes)
     )
     return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id)
@@ -378,8 +406,9 @@ def write_ivf_cells(
     cents = centroids if centroids is not None else _collect_centroids(
         embeddings, n_centroids
     )
+    assign = ivf_cell_udf(cents)
     (
-        embeddings.withColumn("cell", ivf_cell_expr(cents))
+        embeddings.withColumn("cell", assign(F.col("embedding")))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -421,7 +450,7 @@ def ivf_kmeans_centroids(
     dim = len(cents[0][1])
     for _ in range(iters):
         assigned = embeddings.select(
-            "embedding", ivf_cell_expr(cents).alias("cell")
+            "embedding", ivf_cell_udf(cents)(F.col("embedding")).alias("cell")
         )
         means = (
             assigned.groupBy("cell")

@@ -311,3 +311,25 @@ def test_ivf_kmeans_refinement_improves_assignment(spark, tmp_path):
     sims[q] = -1
     brute = set(np.argsort(-sims)[:10].tolist())
     assert len(brute & {r["vec_id"] for r in got}) >= 9
+
+
+def test_ivf_cell_udf_matches_expr(spark):
+    """The Arrow-UDF assignment and the inlined-expression assignment are
+    the same function (max cosine, ties to lowest centroid_id)."""
+    E = _clustered_embeddings(n_clusters=6, per_cluster=30)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(E)), "embedding": E.tolist()})
+    emb = spark.createDataFrame(pdf)
+    cents = similarity._collect_centroids(emb, 8)
+    via_expr = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", similarity.ivf_cell_expr(cents).alias("cell")
+        ).collect()
+    }
+    via_udf = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", similarity.ivf_cell_udf(cents)(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    assert via_udf == via_expr

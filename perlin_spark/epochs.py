@@ -600,32 +600,40 @@ def compact_epochs(
     out_schema = parts.drop("epoch").schema
 
     def splice(batches):
-        for pdf in batches:
-            if not len(pdf):
+        # materialize the WHOLE partition before grouping (the
+        # merge_partials pattern, build.py merge()): sortWithinPartitions
+        # makes a (bucket,field,term,shard) group contiguous in the
+        # partition but says nothing about Arrow batch boundaries
+        # (spark.sql.execution.arrow.maxRecordsPerBatch) — grouping each
+        # batch independently would emit a straddling group as TWO rows
+        # and silently halve its postings at scale
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        merged_rows = []
+        for (bkt, field, term, shard), grp in pdf.groupby(
+            ["bucket", "field", "term", "shard"], sort=False
+        ):
+            if len(grp) == 1:
+                merged_rows.append(grp.drop(columns=["epoch"]))
                 continue
-            merged_rows = []
-            for (bkt, field, term, shard), grp in pdf.groupby(
-                ["bucket", "field", "term", "shard"], sort=False
-            ):
-                if len(grp) == 1:
-                    merged_rows.append(grp.drop(columns=["epoch"]))
-                    continue
-                grp = grp.sort_values("epoch")
-                blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
-                merged_rows.append(
-                    pd.DataFrame(
-                        {
-                            "field": [field],
-                            "term": [term],
-                            "shard": [shard],
-                            "df": [int(grp["df"].sum())],
-                            "max_tf": [int(grp["max_tf"].max())],
-                            "blob": [blob],
-                            "bucket": [bkt],
-                        }
-                    )
+            grp = grp.sort_values("epoch")
+            blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
+            merged_rows.append(
+                pd.DataFrame(
+                    {
+                        "field": [field],
+                        "term": [term],
+                        "shard": [shard],
+                        "df": [int(grp["df"].sum())],
+                        "max_tf": [int(grp["max_tf"].max())],
+                        "blob": [blob],
+                        "bucket": [bkt],
+                    }
                 )
-            yield pd.concat(merged_rows, ignore_index=True)
+            )
+        yield pd.concat(merged_rows, ignore_index=True)
 
     shuffle_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")

@@ -158,8 +158,13 @@ class _ShardScorer:
                 if ds:
                     dl_lookup[field] = _merge_sorted(ds, ts)
 
-        # collect each (field, term)'s blobs exactly once per (shard, epoch);
-        # operands come from the closure metadata, but only for terms that
+        # collect each (field, term)'s DISTINCT blobs; a row can be
+        # duplicated verbatim by the dl fan-out join (same bytes — keep
+        # one), while a storage layer may legitimately hold several blobs
+        # under one (field,term,shard,epoch) key (e.g. a compaction that
+        # flushed a group in pieces) — those must all be kept and MERGED
+        # by _merge_sorted/_decode_overlapping, never dropped.  Operands
+        # come from the closure metadata, but only for terms that
         # actually have postings in this shard (absent term => absent
         # operand => conjunctive groups/Must filters empty the shard, the
         # reference's unknown-term semantics, src/document_index.rs:145)
@@ -167,10 +172,11 @@ class _ShardScorer:
         blobs_by_term: dict[tuple[str, str], list[bytes]] = {}
         seen_blob: set[tuple] = set()
         for r in pdf.itertuples(index=False):
-            blob_key = (r.field, r.term, int(r.shard), int(r.epoch))
+            buf = bytes(r.blob)
+            blob_key = (r.field, r.term, int(r.shard), int(r.epoch), buf)
             if blob_key not in seen_blob:
                 seen_blob.add(blob_key)
-                blobs_by_term.setdefault((r.field, r.term), []).append(bytes(r.blob))
+                blobs_by_term.setdefault((r.field, r.term), []).append(buf)
         operands: dict[tuple, dict] = {}
         for op in self.ops:
             if (op["field"], op["term"]) in blobs_by_term:

@@ -206,6 +206,127 @@ def test_compact_epochs_preserves_results(spark, tmp_path):
     assert compact_epochs(spark, root) is None
 
 
+def test_compact_epochs_groups_straddling_arrow_batches(spark, tmp_path):
+    """r2 verdict defect #1: with small Arrow batches
+    (maxRecordsPerBatch=32) a (bucket, field, term, shard) splice group
+    straddles batch boundaries; per-batch grouping would emit it as TWO
+    rows and the scorer would lose postings.  600 terms x 2 epochs give
+    >=500 groups, each with one row per epoch, so nearly every batch
+    boundary lands inside a group.  Asserts BOTH the storage invariant
+    (one row per group key after compaction — catches the splice bug even
+    though the scorer now also merges duplicate-key blobs) and full
+    search/postings identity before vs after."""
+    from perlin_spark import compact_epochs
+
+    root = str(tmp_path / "cbatch")
+    spec = FieldSpec(field="text", source="text")
+    terms = [f"t{i:03d}" for i in range(600)]
+
+    def batch(offset):
+        rows = [
+            (offset + i, " ".join(t for j, t in enumerate(terms) if j % 20 == i))
+            for i in range(20)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+        )
+
+    build_epoch(spark, batch(0), [spec], root, n_shards=2, buckets=2)
+    build_epoch(spark, batch(20), [spec], root, n_shards=2, buckets=2)
+    # a third epoch covering only HALF the terms makes group sizes vary
+    # (2 vs 3 rows): with uniform group sizes and an even batch size the
+    # batch boundaries would always fall BETWEEN groups and never exercise
+    # the straddle
+    third = [
+        (40 + i, " ".join(t for j, t in enumerate(terms)
+                          if j % 2 == 0 and (j // 2) % 10 == i))
+        for i in range(10)
+    ]
+    build_epoch(
+        spark,
+        spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [r[0] for r in third], "text": [r[1] for r in third]}
+        )),
+        [spec], root, n_shards=2, buckets=2,
+    )
+
+    pl = QueryPipeline(text_spec=spec)
+    queries = ["t000", "t000 t019 t599", "t123"]
+    eng = PerlinEngine(load_index(spark, root), pl)
+    before = {
+        q: [(r["doc_id"], round(r["score"], 9)) for r in eng.search(q, k=10).collect()]
+        for q in queries
+    }
+    before_postings = _postings_set(eng.index)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        assert compact_epochs(spark, root, num_partitions=2) == 3
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    idx = load_index(spark, root)
+    # storage invariant: exactly one row per group key (the splice must
+    # not have split any group at a batch boundary)
+    from pyspark.sql import functions as F
+
+    dup = (
+        idx.postings.groupBy("bucket", "field", "term", "shard")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert _postings_set(idx) == before_postings
+    eng2 = PerlinEngine(idx, pl)
+    after = {
+        q: [(r["doc_id"], round(r["score"], 9)) for r in eng2.search(q, k=10).collect()]
+        for q in queries
+    }
+    assert after == before
+
+
+def test_scorer_merges_duplicate_key_blobs(spark, tmp_path):
+    """Defense in depth for the same defect: if storage DOES hold a group
+    split into two rows under one (field,term,shard,epoch) key, the scorer
+    must merge the blobs, not silently drop the second one."""
+    from perlin_spark import build_index
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                      "text": ["alpha", "alpha", "alpha beta", "beta"]})
+    )
+    spec = FieldSpec(field="text", source="text")
+    idx = build_index(spark, corpus, [spec], content_col="text", n_shards=1)
+    pl = QueryPipeline(text_spec=spec)
+    full = [(r["doc_id"], round(r["score"], 9))
+            for r in PerlinEngine(idx, pl).search("alpha", k=10).collect()]
+    assert [d for d, _ in full] == [0, 1, 2]
+
+    # simulate a split: replace the 'alpha' row with two half-rows under
+    # the SAME (field, term, shard, epoch) key
+    rows = idx.postings.collect()
+    out = []
+    for r in rows:
+        d = r.asDict()
+        if d["term"] == "alpha":
+            docs, tfs = codec.decode_postings(bytes(d["blob"]))
+            for sl in (slice(0, 2), slice(2, None)):
+                h = dict(d)
+                h["blob"] = codec.encode_postings(docs[sl], tfs[sl], 128)
+                h["df"] = int(len(docs[sl]))
+                out.append(h)
+        else:
+            out.append(d)
+    split_postings = spark.createDataFrame(out, idx.postings.schema)
+    idx.postings = split_postings
+    idx.vocab_source = None  # force vocab from the (split) postings
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in PerlinEngine(idx, pl).search("alpha", k=10).collect()]
+    assert got == full
+
+
 def test_build_epoch_rejects_overlapping_doc_ids(spark, tmp_path):
     """Appending an epoch whose caller-supplied doc ids collide with a
     committed epoch must fail loudly — silently indexing the same doc_id

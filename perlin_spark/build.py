@@ -242,12 +242,18 @@ class IndexData:
         measured size exceeds :data:`DL_BROADCAST_MAX` — callers fall back
         to the per-query broadcast join."""
         if self._dl_bc is None:
-            rows = self.doc_lens.select(
-                "field", "shard", "blob", F.length("blob").alias("sz")
-            ).collect()
-            if sum(r["sz"] for r in rows) > self.DL_BROADCAST_MAX:
+            # size check FIRST, as a one-scalar aggregate: collecting the
+            # blobs to find out they are too big would itself be the
+            # driver-OOM the cap exists to prevent (a 10B-doc index is
+            # ~20 GB of dl blobs)
+            total = (
+                self.doc_lens.agg(F.sum(F.length("blob")).alias("sz")).collect()[0]["sz"]
+                or 0
+            )
+            if total > self.DL_BROADCAST_MAX:
                 self._dl_bc = False
             else:
+                rows = self.doc_lens.select("field", "shard", "blob").collect()
                 lookup: dict[tuple[str, int], list[bytes]] = {}
                 for r in rows:
                     lookup.setdefault((r["field"], int(r["shard"])), []).append(
@@ -632,7 +638,17 @@ def merge_partials(
                 d = np.concatenate([p[0] for p in parts])
                 t = np.concatenate([p[1] for p in parts])
                 o = np.argsort(d, kind="stable")
-                out_blobs.append(codec.encode_postings(d[o], t[o], block_size))
+                d, t = d[o], t[o]
+                if d.size > 1 and (d[1:] == d[:-1]).any():
+                    # same doc twice for one term would silently inflate
+                    # df and double-count tf — match _encode_partition's
+                    # duplicate-doc guard and fail loudly instead
+                    dup = int(d[1:][d[1:] == d[:-1]][0])
+                    raise ValueError(
+                        f"duplicate doc_id {dup} across partials for one "
+                        "term; input rows must have unique (doc, field, term)"
+                    )
+                out_blobs.append(codec.encode_postings(d, t, block_size))
             elif int(df_out[gi]) <= block_size and hi - lo > 4:
                 # many tiny partials of a rare term: re-block into one
                 out_blobs.append(codec.merge_blobs(group, block_size))

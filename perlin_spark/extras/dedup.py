@@ -154,29 +154,56 @@ def minhash_lsh_pairs(
     :func:`ngram_jaccard_pairs` output (equality whenever LSH recalls all
     qualifying pairs; the pinned hash family makes the outcome
     deterministic and oracle-checkable either way)."""
+    # fast path: one scalar aggregate decides whether there is anything to
+    # collapse at all — a corpus with no exact duplicates (common after an
+    # upstream exact-dedup pass) skips the representative groupBy and both
+    # re-expansion joins entirely, and the collapse is the identity there
+    n_dup = documents.agg(
+        (F.count(F.lit(1)) - F.countDistinct(F.sha2(F.col("text"), 256))).alias("n")
+    ).collect()[0]["n"]
+    if not n_dup:
+        return _minhash_lsh_rep_pairs(documents, threshold, k, bucket_cap)
+
     members = documents.select(F.sha2(F.col("text"), 256).alias("sha"), "doc_id")
-    reps = members.groupBy("sha").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_members")
+    # membership table for DUPLICATED groups only: every join below is
+    # sized by dup-group members (AQE broadcasts it when small), never by
+    # the whole corpus — unique docs pass through untouched
+    m = (
+        members.join(
+            members.groupBy("sha")
+            .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") > 1)
+            .select("sha", "rep"),
+            "sha",
+        )
+        .select("rep", "doc_id")
+        .persist()
     )
-    rep_docs = documents.join(reps.select("doc_id"), "doc_id")
+    non_reps = m.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
+    rep_docs = documents.join(non_reps, "doc_id", "left_anti")
     rep_pairs = _minhash_lsh_rep_pairs(rep_docs, threshold, k, bucket_cap)
 
-    # re-expand representatives to their exact-duplicate group members
-    m = members.join(reps.select("sha", F.col("doc_id").alias("rep")), "sha").select(
-        "rep", "doc_id"
-    )
+    # re-expand representatives to their exact-duplicate group members;
+    # left join + coalesce = identity for docs outside any dup group
     ma = m.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
     mb = m.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
     cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .withColumn("xa", F.coalesce("xa", "doc_a"))
+        .withColumn("xb", F.coalesce("xb", "doc_b"))
         .select(
             F.least("xa", "xb").alias("doc_a"),
             F.greatest("xa", "xb").alias("doc_b"),
             "jacc_x1e4",
         )
     )
-    # identical texts: jaccard is exactly 1.0, always above any threshold<=1
+    # identical texts: jaccard is exactly 1.0, always above any threshold<=1.
+    # This holds for texts SHORTER than the shingle size too: shingles_df
+    # emits the whole token sequence as one shingle for n < k docs (empty
+    # text included), so the uncollapsed pipeline and the ngram_jaccard
+    # oracle also emit these pairs at 1.0 (pinned by
+    # test_minhash_collapse_matches_uncollapsed_on_short_texts)
     within = (
         m.alias("p")
         .join(m.alias("q"), F.col("p.rep") == F.col("q.rep"))

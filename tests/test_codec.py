@@ -115,3 +115,50 @@ def test_merge_blobs_equals_single_encode():
         [codec.encode_postings(docs[:111], tfs[:111]), codec.encode_postings(docs[111:], tfs[111:])]
     )
     assert merged == codec.encode_postings(docs, tfs)
+
+
+def test_merge_partials_overlap_reencodes_interleaved_ids(spark):
+    """Overlapping partials (interleaved external doc ids) take the
+    decode-resort-encode slow path and come out doc-sorted."""
+    import numpy as np
+
+    from perlin_spark import codec
+    from perlin_spark.build import PARTIAL_SCHEMA, merge_partials
+
+    def partial(docs, tfs):
+        d = np.array(docs, dtype=np.int64)
+        t = np.array(tfs, dtype=np.int64)
+        return (0, "dup", 0, len(docs), int(t.max()), int(d[0]), int(d[-1]),
+                bytes(codec.encode_postings(d, t, 128)))
+
+    df = spark.createDataFrame(
+        [partial([1, 5], [1, 2]), partial([3, 9], [3, 1])], PARTIAL_SCHEMA
+    )
+    out = merge_partials(df, ["text"], 2, 128).collect()
+    assert len(out) == 1
+    docs, tfs = codec.decode_postings(bytes(out[0]["blob"]))
+    assert docs.tolist() == [1, 3, 5, 9] and tfs.tolist() == [1, 3, 2, 1]
+    assert out[0]["df"] == 4 and out[0]["max_tf"] == 3
+
+
+def test_merge_partials_overlap_rejects_duplicate_doc_ids(spark):
+    """The overlap slow path must fail loudly on the same doc appearing
+    twice for one term (matching _encode_partition's guard) instead of
+    silently inflating df / double-counting tf."""
+    import numpy as np
+    import pytest
+
+    from perlin_spark import codec
+    from perlin_spark.build import PARTIAL_SCHEMA, merge_partials
+
+    def partial(docs, tfs):
+        d = np.array(docs, dtype=np.int64)
+        t = np.array(tfs, dtype=np.int64)
+        return (0, "dup", 0, len(docs), int(t.max()), int(d[0]), int(d[-1]),
+                bytes(codec.encode_postings(d, t, 128)))
+
+    df = spark.createDataFrame(
+        [partial([1, 5], [1, 1]), partial([5, 9], [2, 1])], PARTIAL_SCHEMA
+    )
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        merge_partials(df, ["text"], 2, 128).collect()

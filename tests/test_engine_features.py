@@ -121,3 +121,50 @@ def test_report_progress_events(spark):
     assert all(0.0 <= f <= 1.0 for f in fr) and fr[-1] == 1.0
     dones = [e.tasks_done for e in events]
     assert dones == sorted(dones)
+
+
+def test_dl_broadcast_checks_cap_before_collecting(spark):
+    """r2 verdict defect #2: the 512 MB dl-broadcast cap must be enforced
+    with a one-scalar aggregate BEFORE any blob reaches the driver — an
+    over-cap index must never materialize its doc-length blobs driver-side
+    (that collect was the very OOM the cap exists to prevent).  Search
+    must still work via the per-query broadcast-join fallback."""
+    corpus = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta", "alpha", "beta gamma"]}
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, spark.createDataFrame(corpus), [spec],
+        pipeline=QueryPipeline(text_spec=spec), n_shards=1,
+    )
+    idx = eng.index
+    expected = [r["doc_id"] for r in eng.search("alpha", k=10).collect()]
+    assert expected == [1, 0]
+
+    # fresh cap state, 0-byte cap: every index is over it
+    idx._dl_bc = None
+    idx.DL_BROADCAST_MAX = 0
+
+    class NoCollectProxy:
+        """Delegates everything except blob-column selection."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def agg(self, *a, **k):  # the one-scalar size probe is allowed
+            return self._df.agg(*a, **k)
+
+        def select(self, *a, **k):
+            raise AssertionError(
+                "dl blobs were selected for driver collect despite the cap"
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    idx.doc_lens = NoCollectProxy(idx.doc_lens)
+    assert idx.dl_broadcast() is None  # over cap -> no broadcast, no collect
+
+    # the join fallback (filter -> real DataFrame -> select) still scores
+    got = [r["doc_id"] for r in eng.search("alpha", k=10).collect()]
+    assert got == expected

@@ -333,3 +333,30 @@ def test_ivf_cell_udf_matches_expr(spark):
         ).collect()
     }
     assert via_udf == via_expr
+
+
+def test_minhash_collapse_matches_uncollapsed_on_short_texts(spark):
+    """The exact-dup pre-collapse claims output identity with the
+    uncollapsed pipeline; the suspect edge is identical texts SHORTER than
+    the shingle size (including empty).  shingles_df emits the whole token
+    sequence as one shingle for n < k docs, so all three pipelines agree —
+    pinned here so a shingles_df change cannot silently break the claim."""
+    import pandas as pd
+
+    from perlin_spark.extras.dedup import (
+        _minhash_lsh_rep_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5, 6],
+        "text": ["hi", "hi", "", "", "a b", "a b", "the quick brown fox jumps"],
+    }))
+    collapsed = sorted(tuple(r) for r in minhash_lsh_pairs(docs, 0.5).collect())
+    uncollapsed = sorted(
+        tuple(r) for r in _minhash_lsh_rep_pairs(docs, 0.5, 3, None).collect()
+    )
+    oracle = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, 0.5).collect())
+    assert collapsed == uncollapsed == oracle
+    assert (0, 1, 10000) in collapsed and (2, 3, 10000) in collapsed

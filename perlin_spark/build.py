@@ -215,8 +215,17 @@ class IndexData:
     #: doc-id range partitions) — released by unpersist(); without this,
     #: repeated in-session builds leak cached blocks (r1 ADVICE)
     _persisted: list | None = None
+    #: cache() stored postings hash-partitioned by shard: search's
+    #: groupBy("shard") is then already clustered (no exchange), making a
+    #: warm query ONE single-stage job ending in TakeOrderedAndProject
+    _shard_layout: bool = False
 
     def cache(self) -> "IndexData":
+        # serving layout: one repartition at cache-materialization time
+        # buys every subsequent query a shuffle-free single-job plan
+        if not self._shard_layout:
+            self.postings = self.postings.repartition(self.n_shards, "shard")
+            self._shard_layout = True
         for df in (self.postings, self.vocabulary, self.docs, self.doc_lens, self.stats):
             df.cache()
         return self

@@ -526,12 +526,17 @@ def search(
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return scorer(pdf)
 
-    # pre-partition to exactly n_shards so the pandas stage runs one task
-    # per shard instead of shuffle.partitions mostly-empty tasks
-    result = (
-        matched.repartition(index.n_shards, "shard")
-        .groupBy("shard")
-        .applyInPandas(run, RESULT_SCHEMA)
-    )
+    # Serving layout (IndexData.cache): postings cached pre-partitioned by
+    # shard means groupBy("shard") is ALREADY clustered — no exchange, so
+    # the whole search (scan -> filter -> score -> TakeOrderedAndProject)
+    # is ONE single-stage Spark job.  Without the layout (uncached /
+    # freshly loaded index), pre-partition to exactly n_shards so the
+    # pandas stage runs one task per shard instead of shuffle.partitions
+    # mostly-empty tasks.
+    if not index._shard_layout:
+        matched = matched.repartition(index.n_shards, "shard")
+    result = matched.groupBy("shard").applyInPandas(run, RESULT_SCHEMA)
+    # k-row result: TakeOrderedAndProject folds into the scoring job (each
+    # shard emits <= k rows, the driver merges) — no extra sort job
     out = result.orderBy(F.desc("score"), F.asc("doc_id"))
     return out.limit(k) if k is not None else out

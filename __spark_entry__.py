@@ -171,6 +171,26 @@ def q_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(eng.search("scan", k=10, filters=[MustNot("text", "dup")]))
 
 
+def q_bm25_mixed_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-group + Must + May + MustNot in ONE query — the role
+    interaction path (query.py candidate gen -> chained filters -> May
+    scoring) that single-role oracles never cross-exercise."""
+    from perlin_spark.engine import May
+
+    eng = _engine(spark, sf_dir)
+    return _score_x1e4(
+        eng.search(
+            "sort merge",
+            k=10,
+            filters=[
+                Must("text", "window"),
+                May("text", "dup"),
+                MustNot("text", "vector"),
+            ],
+        )
+    )
+
+
 def q_boolean_and_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure boolean conjunction result set (no limit) — the And operator."""
     eng = _engine(spark, sf_dir)
@@ -398,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_must_filter": q_must_filter,
         "ft_bm25_may": q_bm25_may,
         "ft_must_not": q_must_not,
+        "ft_bm25_mixed_roles": q_bm25_mixed_roles,
         "ft_boolean_and_set": q_boolean_and_set,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -755,6 +776,10 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""",
         "ft_must_filter": _bm25_oracle(["merge"], conj=True, must=["dup"]),
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
+        "ft_bm25_mixed_roles": _bm25_oracle(
+            ["sort", "merge"], conj=True,
+            must=["window"], must_not=["vector"], may=["dup"],
+        ),
         "ft_boolean_and_set": f"""
 WITH {_TOK}
 SELECT doc_id FROM tfv WHERE term IN ('sort', 'merge', 'window')

@@ -399,10 +399,14 @@ def write_ivf_cells(
     centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF table partitioned by cell; returns the centroid
-    list to persist alongside (it IS the index metadata).  The 100-TB
-    layout: each query reads only nprobe cell directories.  Pass
-    ``centroids`` (e.g. from :func:`ivf_kmeans_centroids`) to use refined
-    cells instead of the seeded sample."""
+    list and ALSO persists it as a ``_centroids`` parquet side table under
+    ``path`` (the underscore prefix keeps it invisible to the cell scan's
+    partition discovery).  The index is therefore self-describing: a
+    restarted query service reopens it with :func:`ivf_topk_from_cells`
+    alone — no in-memory centroid list to re-derive.  The 100-TB layout:
+    each query reads only nprobe cell directories.  Pass ``centroids``
+    (e.g. from :func:`ivf_kmeans_centroids`) to use refined cells instead
+    of the seeded sample."""
     cents = centroids if centroids is not None else _collect_centroids(
         embeddings, n_centroids
     )
@@ -413,20 +417,39 @@ def write_ivf_cells(
         .partitionBy("cell")
         .parquet(path)
     )
+    spark = embeddings.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+            "centroid_id long, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/_centroids")
+    )
     return cents
+
+
+def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Load the centroid side table written by :func:`write_ivf_cells`."""
+    rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    return sorted((int(r["centroid_id"]), list(r["centroid"])) for r in rows)
 
 
 def ivf_topk_from_cells(
     spark,
     path: str,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None,
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Query a :func:`write_ivf_cells` table: the cell filter prunes the
-    parquet scan to the probed partitions."""
+    parquet scan to the probed partitions.  ``centroids=None`` loads the
+    persisted ``_centroids`` side table (fresh-process reopen)."""
+    if centroids is None:
+        centroids = read_ivf_centroids(spark, path)
     probes = ivf_probe_cells(query_vec, centroids, nprobe)
     table = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id)

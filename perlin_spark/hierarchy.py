@@ -49,8 +49,8 @@ class Hierarchy:
 
     def expand(self, terms: list[str]) -> list[str]:
         """Query expansion: terms plus all their descendants (BFS over the
-        dim table semantics; small taxonomies are driver-resident, large
-        ones would iterate the join df.alias self-join)."""
+        driver dict — right for the reference-sized in-memory taxonomy;
+        :meth:`expand_terms` is the DataFrame path for large ones)."""
         out = set(terms)
         frontier = set(terms)
         while frontier:
@@ -58,3 +58,36 @@ class Hierarchy:
             frontier = children - out
             out |= children
         return sorted(out)
+
+    @staticmethod
+    def expand_terms(hierarchy: DataFrame, seeds) -> DataFrame:
+        """Distributed query expansion: ``seeds`` plus all descendants, as
+        iterative level-by-level equi-joins against the ``(term, parent)``
+        dimension table — the scale path for taxonomies too large for a
+        driver dict.  One broadcast-join + anti-join per LEVEL (taxonomy
+        depth bounds the loop, not taxonomy size); each level's frontier
+        is persisted so the emptiness probe doesn't recompute the chain.
+
+        ``seeds`` may be a list[str] or a DataFrame with a ``term``
+        column.  Returns a DataFrame('term') of seeds + descendants."""
+        spark = hierarchy.sparkSession
+        if not isinstance(seeds, DataFrame):
+            seeds = spark.createDataFrame([(t,) for t in seeds], "term string")
+        seen = seeds.select("term").distinct().persist()
+        frontier = seen
+        while True:
+            children = hierarchy.join(
+                F.broadcast(frontier.select(F.col("term").alias("parent"))),
+                "parent",
+            ).select("term")
+            frontier = children.join(seen, "term", "left_anti").distinct().persist()
+            if frontier.isEmpty():
+                frontier.unpersist()
+                return seen
+            seen = seen.unionByName(frontier).persist()
+
+    def expand_via_df(self, terms: list[str]) -> list[str]:
+        """:meth:`expand` computed through the DataFrame BFS (round-trips
+        the taxonomy through :meth:`to_df`) — same result, cluster-side."""
+        got = self.expand_terms(self.to_df(), terms).collect()
+        return sorted(r["term"] for r in got)

@@ -168,3 +168,40 @@ def test_dl_broadcast_checks_cap_before_collecting(spark):
     # the join fallback (filter -> real DataFrame -> select) still scores
     got = [r["doc_id"] for r in eng.search("alpha", k=10).collect()]
     assert got == expected
+
+
+def test_hierarchy_dataframe_bfs_expansion(spark):
+    """The DataFrame BFS (expand_terms) must match the driver-dict expand
+    on a taxonomy round-tripped through to_df(), and feed search as an
+    expanded Any group — the scale path for taxonomies that outgrow the
+    driver (r2 verdict item)."""
+    h = Hierarchy(spark)
+    for term, parent in [
+        ("animal", None), ("bird", "animal"), ("sparrow", "bird"),
+        ("eagle", "bird"), ("fish", "animal"), ("salmon", "fish"),
+        ("rock", None), ("granite", "rock"),
+    ]:
+        h.add_element(term, parent)
+
+    # round-trip: to_df -> BFS == driver-dict BFS, at several seeds/depths
+    for seeds in (["animal"], ["bird"], ["rock", "fish"], ["sparrow"]):
+        df_terms = sorted(
+            r["term"] for r in Hierarchy.expand_terms(h.to_df(), seeds).collect()
+        )
+        assert df_terms == h.expand(seeds)
+    assert h.expand_via_df(["animal"]) == h.expand(["animal"])
+
+    # unknown seed: passes through (expansion never drops seed terms)
+    assert h.expand_via_df(["unknown"]) == ["unknown"]
+
+    corpus = spark.createDataFrame(
+        [(0, "sparrow on a branch"), (1, "granite cliff"), (2, "salmon run"),
+         (3, "a bird sings"), (4, "nothing here")],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(spark, corpus, [spec], n_shards=1)
+    expanded = h.expand_via_df(["animal"])
+    q = QuerySpec(groups=(("text", "any", tuple(expanded)),))
+    got = sorted(r["doc_id"] for r in eng.search(q, k=10).collect())
+    assert got == [0, 2, 3]

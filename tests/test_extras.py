@@ -360,3 +360,47 @@ def test_minhash_collapse_matches_uncollapsed_on_short_texts(spark):
     oracle = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, 0.5).collect())
     assert collapsed == uncollapsed == oracle
     assert (0, 1, 10000) in collapsed and (2, 3, 10000) in collapsed
+
+
+def test_ivf_cells_self_describing_reopen(spark, tmp_path):
+    """write_ivf_cells persists its centroids next to the cells, so a
+    fresh process can reopen and query the index with NO in-memory
+    centroid list (r2 verdict gap: a restarted query service previously
+    had to re-derive centroids).  The _centroids side table must also stay
+    invisible to the cell scan itself."""
+    import numpy as np
+
+    from perlin_spark.extras import similarity
+
+    rng = np.random.default_rng(7)
+    E = rng.normal(size=(300, 16)).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in E[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_self")
+    cents = similarity.write_ivf_cells(emb, path, n_centroids=8)
+
+    # the side table round-trips exactly
+    assert similarity.read_ivf_centroids(spark, path) == [
+        (cid, [float(x) for x in vec]) for cid, vec in sorted(cents)
+    ]
+    # the cell scan does not pick up the _centroids directory
+    cells = spark.read.parquet(path)
+    assert sorted(cells.columns) == ["cell", "embedding", "vec_id"]
+    assert cells.count() == 300
+
+    q = [float(x) for x in E[5]]
+    with_list = [
+        (r["vec_id"], round(r["cos_x1e6"], 6)) if "cos_x1e6" in r.asDict() else tuple(r)
+        for r in similarity.ivf_topk_from_cells(
+            spark, path, cents, q, k=10, nprobe=4, exclude_id=5
+        ).collect()
+    ]
+    reopened = [
+        (r["vec_id"], round(r["cos_x1e6"], 6)) if "cos_x1e6" in r.asDict() else tuple(r)
+        for r in similarity.ivf_topk_from_cells(
+            spark, path, None, q, k=10, nprobe=4, exclude_id=5
+        ).collect()
+    ]
+    assert reopened == with_list and len(reopened) == 10

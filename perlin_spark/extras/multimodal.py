@@ -3,11 +3,12 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode/feature steps run as Arrow-batched ``mapInPandas`` UDFs.
 
-Decode kernels: uncompressed **BMP (24bpp)** and **WAV (16-bit PCM)** are
-decoded for real, in pure numpy (``decode_bmp`` / ``decode_wav``; format
-specs are public and header-based, no codec libraries needed), so
-``deterministic=False`` exercises a true bytes->pixels/samples->features
-path end-to-end.  Compressed formats (JPEG/MP4/...) still raise
+Decode kernels: uncompressed **BMP (24bpp)**, **WAV (16-bit PCM)**, and
+compressed **PNG (8-bit, via stdlib zlib)** are decoded for real
+(``decode_bmp`` / ``decode_wav`` / ``decode_png``; public format specs,
+no codec libraries needed), so ``deterministic=False`` exercises a true
+bytes->pixels/samples->features path end-to-end including a real inflate
++ per-row unfilter.  Remaining compressed formats (JPEG/MP4/...) raise
 NotImplementedError at the same seam — that is where libjpeg/ffmpeg plugs
 in on a real cluster — and ``deterministic=True`` substitutes a seeded
 fake decode for payloads of any format (reproducible tests).
@@ -110,6 +111,142 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + pix
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Compressed PNG -> (H, W, 3) uint8 RGB, pure stdlib zlib + numpy.
+
+    Covers the common web subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced, all five row
+    filters (None/Sub/Up/Average/Paeth).  Alpha is dropped.  Palette and
+    interlaced images raise NotImplementedError at the same seam as the
+    other codecs.  Reference decoder for correctness — per-row filter
+    recurrences run in python, so production plugs a native codec here."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        size = int(np.frombuffer(payload, ">u4", 1, pos)[0])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int(np.frombuffer(ihdr, ">u4", 1, 0)[0])
+    h = int(np.frombuffer(ihdr, ">u4", 1, 4)[0])
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: left-pixel recurrence
+            cur = row.copy()
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(img, 3, axis=2)
+    if color == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3].copy()  # RGB / RGBA minus alpha
+
+
+def encode_png(rgb: np.ndarray, filters: str = "none") -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG bytes (test synth).  ``filters="mixed"``
+    cycles Sub/Up/Average/Paeth per row so roundtrip tests exercise every
+    unfilter branch of :func:`decode_png`."""
+    import zlib
+
+    h, w, _ = rgb.shape
+    stride = w * 3
+    rows = rgb.reshape(h, stride).astype(np.int64)
+    scan = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        cur = rows[y]
+        ft = 0 if filters == "none" else 1 + (y % 4)
+        left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
+                dtype=np.int64,
+            )
+            enc = (cur - pred) & 0xFF
+        scan.append(ft)
+        scan += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """16-bit PCM WAV -> (samples int16 [n, channels], sample_rate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -205,11 +342,13 @@ def real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray
     the documented seam where compressed-format codecs plug in."""
     if mime == "image/bmp":
         return _image_features(decode_bmp(payload), dim)
+    if mime == "image/png":
+        return _image_features(decode_png(payload), dim)
     if mime == "audio/wav":
         return _audio_features(*decode_wav(payload), dim=dim)
     raise NotImplementedError(
-        f"no pure-python decoder for {mime!r}; compressed formats need "
-        "codec libraries (libjpeg/ffmpeg) — plug a kernel in here"
+        f"no pure-python decoder for {mime!r}; remaining compressed "
+        "formats need codec libraries (libjpeg/ffmpeg) — plug a kernel in here"
     )
 
 

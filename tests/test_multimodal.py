@@ -59,3 +59,56 @@ def test_extract_features_fake_decode_deterministic(spark):
     b = mm.extract_features(media).collect()
     key = lambda rows: sorted((r["media_id"], tuple(r["feature"])) for r in rows)
     assert key(a) == key(b)
+
+
+def test_png_roundtrip_all_filters(spark):
+    """decode_png inverts encode_png exactly; "mixed" cycles the
+    Sub/Up/Average/Paeth filters so every unfilter branch runs.  The same
+    pixels through BMP and PNG must produce identical features (the codec
+    must not leak into the feature space)."""
+    import numpy as np
+
+    from perlin_spark.extras.multimodal import (
+        _image_features, decode_png, encode_bmp, encode_png, real_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    for filters in ("none", "mixed"):
+        assert np.array_equal(decode_png(encode_png(rgb, filters)), rgb)
+    # gradient image: Sub/Average/Paeth filters actually compress it
+    grad = np.stack(
+        [np.tile(np.arange(64, dtype=np.uint8), (32, 1))] * 3, axis=2
+    )
+    assert np.array_equal(decode_png(encode_png(grad, "mixed")), grad)
+
+    f_png = real_decode(encode_png(rgb, "mixed"), "image/png")
+    f_bmp = real_decode(encode_bmp(rgb), "image/bmp")
+    assert np.allclose(f_png, f_bmp)
+    assert np.allclose(f_png, _image_features(rgb))
+
+
+def test_png_real_decode_end_to_end(spark):
+    """A compressed mime now runs the deterministic=False feature path for
+    real (r2 verdict item: one compressed format behind the seam)."""
+    import numpy as np
+    import pytest
+
+    from perlin_spark.extras.multimodal import (
+        MEDIA_SCHEMA, decode_png, encode_png, extract_features,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        rgb = rng.integers(0, 256, size=(8 + i, 5 + i, 3), dtype=np.uint8)
+        rows.append((i, "image", "image/png",
+                     bytearray(encode_png(rgb, "mixed")), 5 + i, 8 + i, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in extract_features(media, deterministic=False).collect()}
+    assert len(feats) == 6
+    assert all(f[0] == 1.0 for f in feats.values())  # image modality tag
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x00" * 16)

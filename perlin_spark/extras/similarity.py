@@ -459,16 +459,20 @@ def ivf_kmeans_centroids(
     embeddings: DataFrame, n_centroids: int, iters: int = 5
 ) -> list[tuple[int, list[float]]]:
     """Refine the seeded sample centroids with Lloyd iterations, entirely
-    as DataFrame ops: assign (map-only inlined argmax, no shuffle) ->
-    per-cell mean (one groupBy per iteration).  Deterministic: init is
-    :func:`ivf_centroids` (lowest vec_ids) and every step is a pure
-    aggregation.  Returns the centroid list for :func:`ivf_topk`-style
-    probing via :func:`write_ivf_cells`/:func:`ivf_topk_from_cells`.
+    as DataFrame ops: assign (Arrow-batched matmul, no shuffle) ->
+    per-(cell, dimension) mean via posexplode (one shuffle per
+    iteration).  Deterministic: init is :func:`ivf_centroids` (lowest
+    vec_ids) and every step is a pure aggregation.  Returns the centroid
+    list for :func:`ivf_topk`-style probing via
+    :func:`write_ivf_cells`/:func:`ivf_topk_from_cells`.
 
+    Dimensions are aggregation ROWS (``posexplode``), not plan columns —
+    a 4k-dim embedding costs 4k x K aggregate rows, never 4k Catalyst
+    expressions (the wide-agg plan stalls the optimizer beyond ~1k dims).
     Empty cells keep their previous centroid (standard Lloyd handling).
-    Cost per iteration is one narrow pass + one shuffle of n rows to K
-    groups — at 100 TB you would sample the assignment input; the
-    structure is unchanged."""
+    Cost per iteration is one narrow pass + one (cell, pos)-keyed shuffle
+    — at 100 TB you would sample the assignment input; the structure is
+    unchanged."""
     cents = _collect_centroids(embeddings, n_centroids)
     dim = len(cents[0][1])
     for _ in range(iters):
@@ -476,17 +480,16 @@ def ivf_kmeans_centroids(
             "embedding", ivf_cell_udf(cents)(F.col("embedding")).alias("cell")
         )
         means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
             .collect()
         )
-        new = dict(cents)
+        acc: dict[int, dict[int, float]] = {}
         for r in means:
-            new[int(r["cell"])] = [float(r[f"m{i}"]) for i in range(dim)]
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        new = dict(cents)
+        for cid, d in acc.items():
+            new[cid] = [d[i] for i in range(dim)]
         cents = sorted(new.items())
     return [(cid, list(vec)) for cid, vec in cents]

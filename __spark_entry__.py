@@ -218,6 +218,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the exact n-gram
+    Jaccard pair graph (threshold 0.12), every doc labeled with the
+    smallest reachable doc_id; pair-free docs are their own component."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.12)
+    return dedup.dedup_components(pairs, docs).select("doc_id", "component")
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision itself: one canonical doc per component."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.12)
+    return dedup.dedup_keep_canonical(docs, pairs).select("doc_id", "component")
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -424,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine,
         "text_quality": q_text_quality,
         "text_langid": q_langid,
@@ -445,6 +463,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# shared n-gram Jaccard pair CTEs (threshold applied by the consumer):
+# MUST match extras.dedup.shingles_df / ngram_jaccard_pairs
+_NGRAM_PAIR_CTES = """tokarr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM tokarr, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [array_to_string(toks, ' ')] END) AS u(sh)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jacc AS (
+  SELECT doc_a, doc_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)"""
 
 # shared tokenization CTEs: MUST match FieldSpec(text, whitespace, lowercase)
 _TOK = """
@@ -789,26 +827,39 @@ SELECT count(*)::BIGINT AS n_docs,
        count(DISTINCT sha256(text))::BIGINT AS n_distinct,
        (count(*) - count(DISTINCT sha256(text)))::BIGINT AS n_dup_docs
 FROM documents""",
-        "dedup_ngram_jaccard": """
-WITH tokarr AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
-  FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, sh FROM tokarr, unnest(
-    CASE WHEN len(toks) >= 3
-         THEN list_transform(generate_series(1, len(toks) - 2),
-                             i -> array_to_string(toks[i:i+2], ' '))
-         ELSE [array_to_string(toks, ' ')] END) AS u(sh)),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-jacc AS (
-  SELECT doc_a, doc_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
-  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
+        "dedup_ngram_jaccard": f"""
+WITH {_NGRAM_PAIR_CTES}
 SELECT doc_a, doc_b, CAST(floor(j * 10000 + 0.5) AS BIGINT) AS jacc_x1e4
 FROM jacc WHERE j >= 0.12""",
+        # connected components of the same pair graph: DuckDB's recursive
+        # CTE computes the transitive closure; component = min reachable
+        # doc_id, pair-free docs are their own singleton component —
+        # independent semantics from the Spark label-propagation loop
+        "dedup_components": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+pairs AS (SELECT doc_a, doc_b FROM jacc WHERE j >= 0.12),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.doc_id),
+comp AS (SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c USING (doc_id)""",
+        "dedup_survivors": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+pairs AS (SELECT doc_a, doc_b FROM jacc WHERE j >= 0.12),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.doc_id),
+comp AS (SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c USING (doc_id)
+WHERE d.doc_id = coalesce(c.component, d.doc_id)""",
         "dedup_minhash_lsh": _minhash_oracle(0.12),
         "dedup_simhash": f"""
 WITH {_TOK},

@@ -364,3 +364,85 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()  # a close pair may collide in several tables
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components of a near-dup pair graph: (doc_id, component),
+    component = the smallest doc_id reachable through pairs.  This is the
+    step a training pipeline runs AFTER pair finding — cluster the dup
+    graph, then keep one canonical doc per component.
+
+    Iterative min-label propagation, pure DataFrame ops: each round joins
+    the (bidirectional) edge list with current labels and takes the
+    neighborhood min.  Rounds needed = graph diameter, and near-dup
+    clusters are dense (LSH verification emits most intra-cluster pairs),
+    so 2-4 rounds is typical; labels only ever decrease, so the scalar
+    sum-of-labels is a monotone convergence probe (one tiny agg per
+    round, no row-by-row comparison).  Pass ``documents`` to include
+    docs with no dup pair as their own singleton component.
+
+    100-TB shape: per round one (edge x label) equi-join + groupBy min —
+    shuffle volume O(|edges|); no driver-side graph, no recursion depth
+    tied to cluster SIZE (a million-doc boilerplate cluster with a
+    2-hop diameter still converges in ~2 rounds)."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("b"),
+                              F.col("component").alias("nbr_comp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease -> fixed point
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    if documents is not None:
+        singles = (
+            documents.select("doc_id")
+            .join(labels.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("component", F.col("doc_id"))
+        )
+        labels = labels.unionByName(singles)
+    return labels
+
+
+def dedup_keep_canonical(
+    documents: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """The actual dedup: keep ONE doc per near-dup component (the lowest
+    doc_id — deterministic) plus all docs with no near-dup.  Returns the
+    surviving documents with their component id."""
+    comps = dedup_components(pairs, documents)
+    return documents.join(
+        comps.filter(F.col("doc_id") == F.col("component")), "doc_id"
+    )

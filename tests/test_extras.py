@@ -404,3 +404,34 @@ def test_ivf_cells_self_describing_reopen(spark, tmp_path):
         ).collect()
     ]
     assert reopened == with_list and len(reopened) == 10
+
+
+def test_dedup_components_chain_and_canonical(spark):
+    """Connected components must propagate transitively (a chain
+    0-1-2-3-4 needs multiple label-propagation rounds, not just one
+    neighbor hop), handle several components plus singletons, and
+    dedup_keep_canonical must keep exactly one doc per component."""
+    import pandas as pd
+
+    from perlin_spark.extras.dedup import dedup_components, dedup_keep_canonical
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_a": [0, 1, 2, 3, 10, 20],
+            "doc_b": [1, 2, 3, 4, 11, 21],
+            "jacc_x1e4": [10000] * 6,
+        })
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(5)) + [10, 11, 20, 21, 99],
+                      "text": ["x"] * 10})
+    )
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(pairs, docs).collect()
+    }
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                     10: 10, 11: 10, 20: 20, 21: 20, 99: 99}
+
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [0, 10, 20, 99]

@@ -389,6 +389,17 @@ def q_code_must_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(eng.search("merge", k=10, filters=[Must("number", "42")]))
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN, pure ADC over seeded codebooks (m=8, ks=16): the whole
+    pipeline — unit-normalize, per-subspace nearest-centroid encode,
+    lookup-table scoring — is deterministic and SQL-derivable, so the
+    compressed-domain scores themselves are oracle-gated (rerank and
+    k-means codebooks are pytest-gated on top)."""
+    emb = _embeddings(spark, sf_dir)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return similarity.pq_topk(emb, qv, k=10, exclude_id=0)
+
+
 def q_golden_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own golden queries end-to-end (stemmed, number-routed
     pipeline over the 3-doc corpus): (query_id, doc_id) match matrix."""
@@ -452,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": q_emb_pairs_exact,
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_pq_topk": q_ann_pq,
         "golden_reference_suite": q_golden_reference,
         "ft_code_ident_bm25": q_code_ident_bm25,
         "ft_code_vocabulary": q_code_vocabulary,
@@ -686,6 +698,51 @@ c AS (SELECT vec_id, list_cosine_similarity(v, (SELECT qv FROM q)) AS cos
       FROM cells WHERE cell IN (SELECT cid FROM probes) AND vec_id <> 0)
 SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
 FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
+def _ann_pq_oracle(k: int = 10) -> str:
+    """Replicates pq_topk with seeded codebooks: unit-normalize, slice
+    into m subspaces, per-subspace nearest-centroid code (L2 asc, code
+    asc — numpy argmin first-match), ADC = sum of per-subspace inner
+    products between the normalized query slice and the coded centroid.
+    Codebooks are the vec_id < ks rows of the SAME table, so nothing is
+    inlined."""
+    from perlin_spark.extras.similarity import PQ_KS, PQ_M
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+en AS (SELECT vec_id,
+              list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+       FROM e),
+q AS (SELECT v AS qv FROM en WHERE vec_id = 0),
+ds AS (SELECT len(qv) // {PQ_M} AS d FROM q),
+cb AS (
+  SELECT s.i AS m, en.vec_id AS code,
+         list_slice(en.v, s.i * (SELECT d FROM ds) + 1,
+                    (s.i + 1) * (SELECT d FROM ds)) AS cent
+  FROM en, unnest(generate_series(0, {PQ_M - 1})) AS s(i)
+  WHERE en.vec_id < {PQ_KS}),
+asg AS (
+  SELECT en.vec_id, cb.m, cb.code,
+         row_number() OVER (PARTITION BY en.vec_id, cb.m
+           ORDER BY list_distance(
+                      list_slice(en.v, cb.m * (SELECT d FROM ds) + 1,
+                                 (cb.m + 1) * (SELECT d FROM ds)),
+                      cb.cent) ASC, cb.code ASC) AS rn
+  FROM en, cb),
+codes AS (SELECT vec_id, m, code FROM asg WHERE rn = 1),
+lut AS (SELECT cb.m, cb.code,
+               list_inner_product(
+                 list_slice((SELECT qv FROM q),
+                            cb.m * (SELECT d FROM ds) + 1,
+                            (cb.m + 1) * (SELECT d FROM ds)),
+                 cb.cent) AS val
+        FROM cb),
+adc AS (SELECT c.vec_id, sum(l.val) AS s
+        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+        WHERE c.vec_id <> 0 GROUP BY 1)
+SELECT vec_id, CAST(floor(s * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM adc ORDER BY s DESC, vec_id LIMIT {k}"""
 
 
 def _emb_pairs_oracle(
@@ -936,6 +993,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_pq_topk": _ann_pq_oracle(),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
         "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),
         "golden_reference_suite": _golden_oracle(),

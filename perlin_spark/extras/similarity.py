@@ -493,3 +493,221 @@ def ivf_kmeans_centroids(
             new[cid] = [d[i] for i in range(dim)]
         cents = sorted(new.items())
     return [(cid, list(vec)) for cid, vec in cents]
+
+
+# --- Product Quantization (PQ): compressed codes + ADC scoring -------------
+#
+# The ANN memory/IO story at 100 TB: unit-normalized vectors are split
+# into M subspaces, each quantized to one of KS per-subspace centroids, so
+# a vector becomes M small codes (M bytes at KS<=256) instead of dim
+# floats — a 300 TB fp32 embedding corpus scans as ~2 TB of codes.  A
+# query builds an M x KS inner-product lookup table driver-side and each
+# row's approximate cosine is M table lookups (ADC) — pure JVM
+# expressions here, no Python on the scoring path.  Compose with the IVF
+# cells layout for probe-then-ADC-then-rerank serving.
+
+PQ_M = 8    # subspaces
+PQ_KS = 16  # centroids per subspace
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS
+) -> np.ndarray:
+    """(m, ks, dim//m) codebooks from the ``ks`` lowest vec_ids'
+    unit-normalized sub-vectors — the same deterministic seeding as
+    :func:`ivf_centroids`, so the whole PQ pipeline is oracle-derivable;
+    refine with :func:`pq_kmeans_codebooks` on a real corpus."""
+    rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in embeddings.filter(F.col("vec_id") < ks).collect()
+    )
+    X = _normalize_rows(np.array([v for _, v in rows], dtype=np.float64))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([X[:, i * dsub : (i + 1) * dsub] for i in range(m)])
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched encoder: embedding -> array<int> of ``m`` codes
+    (nearest sub-centroid by L2 on the unit-normalized vector; ties to
+    the lowest code, numpy argmin first-match)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(codebooks)  # (m, ks, dsub)
+    m, ks, dsub = C.shape
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="object")
+        X = _normalize_rows(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        )
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for i in range(m):
+            sub = X[:, i * dsub : (i + 1) * dsub]          # (B, dsub)
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2.0 * (sub @ C[i].T)
+                + (C[i] * C[i]).sum(1)
+            )                                              # (B, ks)
+            codes[:, i] = np.argmin(d2, axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return encode
+
+
+def pq_adc_score_col(codebooks: np.ndarray, query_vec: list[float]):
+    """Column: ADC approximate cosine for a ``codes`` column — the query's
+    per-subspace inner products with every centroid are inlined as an
+    m x ks literal lookup table, so scoring is JVM-side ``aggregate`` over
+    m lookups (no UDF, whole-stage codegen eligible)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-30)
+    m, ks, dsub = codebooks.shape
+    lut = np.stack(
+        [codebooks[i] @ qn[i * dsub : (i + 1) * dsub] for i in range(m)]
+    )  # (m, ks)
+    lut_col = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    return F.aggregate(
+        F.zip_with(
+            lut_col,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    codebooks: np.ndarray | None = None,
+    rerank: int | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """PQ ANN: encode -> ADC top-k (vec_id, cos_x1e4).  ``rerank=N``
+    takes the top N by ADC and rescores them with exact cosine (the
+    standard serving shape; ADC alone is an approximation of the
+    normalized inner product)."""
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings, m, ks)
+    encode = pq_encode_udf(cb)
+    coded = embeddings.withColumn("codes", encode(F.col("embedding")))
+    return pq_topk_from_codes(
+        coded, cb, query_vec, k=k, rerank=rerank, exclude_id=exclude_id
+    )
+
+
+def pq_topk_from_codes(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a (vec_id, codes[, embedding]) table: ADC scan over codes
+    only; with ``rerank`` the shortlist joins back exact cosine (requires
+    the ``embedding`` column)."""
+    scored = coded.withColumn("adc", pq_adc_score_col(codebooks, query_vec))
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
+    if rerank is None:
+        return (
+            scored.orderBy(F.desc("adc"), F.asc("vec_id"))
+            .limit(k)
+            .select(
+                "vec_id",
+                F.floor(F.col("adc") * 10000 + F.lit(0.5)).cast("long").alias("cos_x1e4"),
+            )
+        )
+    shortlist = scored.orderBy(F.desc("adc"), F.asc("vec_id")).limit(rerank)
+    return cosine_topk(
+        shortlist.select("vec_id", "embedding"), query_vec, k=k, exclude_id=exclude_id
+    )
+
+
+def write_pq_codes(
+    embeddings: DataFrame,
+    path: str,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    codebooks: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the PQ table (vec_id, codes) + a ``_codebooks`` parquet
+    side table (self-describing, like :func:`write_ivf_cells`).  The
+    at-rest win IS the compression: the scan reads m ints per vector,
+    never the embedding floats."""
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings, m, ks)
+    encode = pq_encode_udf(cb)
+    (
+        embeddings.select("vec_id", encode(F.col("embedding")).alias("codes"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = embeddings.sparkSession
+    mm, kk, dsub = cb.shape
+    rows = [
+        (i, j, [float(x) for x in cb[i, j]])
+        for i in range(mm)
+        for j in range(kk)
+    ]
+    (
+        spark.createDataFrame(rows, "m int, code int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/_codebooks")
+    )
+    return cb
+
+
+def read_pq_codebooks(spark, path: str) -> np.ndarray:
+    """Load the codebook side table written by :func:`write_pq_codes`."""
+    rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
+    m = 1 + max(int(r["m"]) for r in rows)
+    ks = 1 + max(int(r["code"]) for r in rows)
+    dsub = len(rows[0]["centroid"])
+    cb = np.zeros((m, ks, dsub), dtype=np.float64)
+    for r in rows:
+        cb[int(r["m"]), int(r["code"])] = np.asarray(r["centroid"], dtype=np.float64)
+    return cb
+
+
+def pq_kmeans_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, iters: int = 5
+) -> np.ndarray:
+    """Refine the seeded codebooks with per-subspace Lloyd iterations,
+    driver-side over a collected SAMPLE of normalized vectors (PQ training
+    is classically a sampled computation; the cluster-scale work is
+    encode/scan, not training).  Deterministic: seeded init + argmin
+    first-match assignment."""
+    cb = pq_codebooks(embeddings, m, ks)
+    sample = embeddings.limit(10000).collect()
+    X = _normalize_rows(
+        np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    )
+    dsub = cb.shape[2]
+    for i in range(m):
+        sub = np.ascontiguousarray(X[:, i * dsub : (i + 1) * dsub])
+        C = cb[i].copy()
+        for _ in range(iters):
+            d2 = (sub * sub).sum(1, keepdims=True) - 2.0 * (sub @ C.T) + (C * C).sum(1)
+            a = np.argmin(d2, axis=1)
+            for j in range(ks):
+                pts = sub[a == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        cb[i] = C
+    return cb

@@ -215,6 +215,29 @@ def main() -> None:
             spark, ivf_path, cents, qv, k=10, nprobe=4, exclude_id=0
         ).collect()
         times["ann_ivf_topk"] = min(times["ann_ivf_topk"], time.perf_counter() - t0)
+    # PQ at rest: the compressed-domain scan (codes only, JVM ADC lookup)
+    pq_path = "/tmp/perlin_bench_pq"
+    cb = similarity.write_pq_codes(emb, pq_path)
+    pq_codes = spark.read.parquet(pq_path)
+    similarity.pq_topk_from_codes(pq_codes, cb, qv, k=10, exclude_id=0).collect()
+    times["ann_pq_topk"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        similarity.pq_topk_from_codes(pq_codes, cb, qv, k=10, exclude_id=0).collect()
+        times["ann_pq_topk"] = min(times["ann_pq_topk"], time.perf_counter() - t0)
+    # near-dup clustering end-to-end: LSH pairs -> connected components
+    dedup.dedup_components(
+        dedup.minhash_lsh_pairs(docs, threshold=0.12), docs
+    ).count()  # warm
+    times["dedup_components"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dedup.dedup_components(
+            dedup.minhash_lsh_pairs(docs, threshold=0.12), docs
+        ).count()
+        times["dedup_components"] = min(
+            times["dedup_components"], time.perf_counter() - t0
+        )
 
     total = time.perf_counter() - t_total0 - sleep_total
     out = {

@@ -711,3 +711,82 @@ def pq_kmeans_codebooks(
                     C[j] = pts.mean(0)
         cb[i] = C
     return cb
+
+
+# --- IVF + PQ composition: the billion-scale serving shape -----------------
+
+def write_ivf_pq_cells(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: np.ndarray | None = None,
+    keep_embeddings: bool = True,
+):
+    """Materialize cell-partitioned PQ codes: a query prunes to nprobe
+    cell directories AND scans only m ints per vector there; the original
+    embedding column is kept (``keep_embeddings``) for exact rerank of
+    the shortlist — drop it when a separate vector store serves rerank.
+    Both index artifacts (_centroids, _codebooks) persist alongside, so
+    :func:`ivf_pq_topk_from_cells` reopens the index cold."""
+    cents = centroids if centroids is not None else _collect_centroids(
+        embeddings, n_centroids
+    )
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings, m, ks)
+    cols = ["vec_id", "codes"] + (["embedding"] if keep_embeddings else [])
+    (
+        embeddings
+        .withColumn("cell", ivf_cell_udf(cents)(F.col("embedding")))
+        .withColumn("codes", pq_encode_udf(cb)(F.col("embedding")))
+        .select(*cols, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark = embeddings.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+            "centroid_id long, centroid array<double>",
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/_centroids")
+    )
+    mm, kk, _ = cb.shape
+    (
+        spark.createDataFrame(
+            [(i, j, [float(x) for x in cb[i, j]]) for i in range(mm) for j in range(kk)],
+            "m int, code int, centroid array<double>",
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/_codebooks")
+    )
+    return cents, cb
+
+
+def ivf_pq_topk_from_cells(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = 50,
+    exclude_id: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Query a :func:`write_ivf_pq_cells` table: partition-pruned scan of
+    nprobe cells -> JVM ADC over the codes column -> optional exact
+    rerank.  With ``centroids``/``codebooks`` omitted the persisted side
+    tables are loaded (fresh-process reopen)."""
+    if centroids is None:
+        centroids = read_ivf_centroids(spark, path)
+    if codebooks is None:
+        codebooks = read_pq_codebooks(spark, path)
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    table = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return pq_topk_from_codes(
+        table, codebooks, query_vec, k=k, rerank=rerank, exclude_id=exclude_id
+    )

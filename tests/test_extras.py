@@ -489,3 +489,42 @@ def test_pq_topk_recall_persistence_and_adc_parity(spark, tmp_path):
     for r in rows[:50]:
         expect = float(sum(lut[i, c] for i, c in enumerate(r["codes"])))
         assert abs(expect - r["adc"]) < 1e-9
+
+
+def test_ivf_pq_cells_cold_reopen_recall(spark, tmp_path):
+    """The composed serving shape: cell-partitioned PQ codes, queried
+    cold (no in-memory index state — both side tables loaded from disk),
+    partition-pruned ADC + exact rerank must recover the brute-force
+    top-k on clustered vectors."""
+    import numpy as np
+
+    from perlin_spark.extras import similarity as S
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 32)) * 8.0
+    X = np.concatenate([centers[i] + rng.normal(size=(50, 32)) for i in range(8)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfpq")
+    cents = S.ivf_kmeans_centroids(emb, 8, iters=3)
+    cb = S.pq_kmeans_codebooks(emb, m=8, ks=16, iters=3)
+    S.write_ivf_pq_cells(emb, path, centroids=cents, codebooks=cb)
+
+    q = [float(x) for x in X[123]]
+    brute = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10, exclude_id=123).collect()]
+    got = [r["vec_id"] for r in S.ivf_pq_topk_from_cells(
+        spark, path, q, k=10, nprobe=3, rerank=60, exclude_id=123
+    ).collect()]
+    recall = len(set(got) & set(brute)) / 10
+    assert recall >= 0.8
+
+    # the pruned scan really reads codes, not a full-table pass: cells on
+    # disk are partition dirs and only nprobe of them are in the plan
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([0, 1]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan

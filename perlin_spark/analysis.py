@@ -362,3 +362,57 @@ def code_specs() -> list[FieldSpec]:
         FieldSpec(field="content", source="content", tokenizer="alphanumeric",
                   lowercase=True, stem=False, number_field="number"),
     ]
+
+
+def debug_stages(
+    text: str, spec: FieldSpec, callback=None
+) -> list[tuple[str, str, list[str]]]:
+    """The reference's ``Debugger`` pipeline stage
+    (``/root/reference/src/language/mod.rs:59-88``): a tap that observes
+    the token stream between any two stages and passes it through
+    unchanged.  The reference prints each item to stdout; here every
+    inter-stage stream is captured as ``(stage, field, tokens)`` rows —
+    inspectable as data, the Spark-idiomatic form of a println tap —
+    and ``callback(stage, token)`` is invoked per token when given (the
+    literal reference behavior is ``callback=lambda s, t: print(s, t)``).
+
+    Stage order mirrors :func:`apply_field_pipeline` exactly;
+    ``tests/test_analysis.py`` pins the final stage to its output, so the
+    debug view cannot drift from the real chain."""
+    out: list[tuple[str, str, list[str]]] = []
+
+    def tap(stage: str, field: str, toks: pd.Series) -> None:
+        vals = [str(t) for t in toks]
+        out.append((stage, field, vals))
+        if callback is not None:
+            for t in vals:
+                callback(stage, t)
+
+    toks = tokenize(pd.Series([text]), spec.tokenizer)
+    tap("tokenize", spec.field, toks)
+    if len(toks):
+        toks = toks[~toks.str.contains("\x00", regex=False).fillna(False)]
+        tap("nul_filter", spec.field, toks)
+    if spec.numbers_only:
+        numeric = _is_u64(toks) if len(toks) else toks.astype(bool)
+        kept = toks[numeric]
+        tap("to_usize", spec.field, canonical_u64(kept) if len(kept) else kept)
+        return out
+    if spec.number_field is not None and len(toks):
+        numeric = _is_u64(toks)
+        routed = toks[numeric]
+        if len(routed):
+            tap("number_tee", spec.number_field, canonical_u64(routed))
+        toks = toks[~numeric]
+        tap("number_filter", spec.field, toks)
+    if spec.lowercase:
+        toks = toks.str.lower()
+        tap("lowercase", spec.field, toks)
+    if spec.stopwords and len(toks):
+        toks = toks[~toks.isin(set(spec.stopwords))]
+        tap("stopword_filter", spec.field, toks)
+    if spec.stem and len(toks):
+        toks = stem_series(toks)
+        tap("stem", spec.field, toks)
+    tap("index_term", spec.field, toks)
+    return out

@@ -121,3 +121,41 @@ def test_code_tokenizer_matches_duckdb_oracle_property():
         assert spark_side == list(sql_side), s
 
     check()
+
+
+def test_debug_stages_pins_real_pipeline():
+    """The Debugger tap (reference src/language/mod.rs:59-88): final
+    stage must equal apply_field_pipeline's real output for every spec
+    shape, intermediate stages must show the expected transformations,
+    and the per-token callback fires like the reference's println."""
+    import pandas as pd
+
+    from perlin_spark.analysis import FieldSpec, apply_field_pipeline, debug_stages
+
+    text = "Flew 007 the BIRD 18446744073709551616 ocean"
+    specs = [
+        FieldSpec(field="t", source="t"),
+        FieldSpec(field="t", source="t", stem=True, number_field="num"),
+        FieldSpec(field="t", source="t", stopwords=("the",), stem=True),
+        FieldSpec(field="n", source="n", numbers_only=True),
+    ]
+    for spec in specs:
+        stages = debug_stages(text, spec)
+        real = apply_field_pipeline(pd.Series(text.split()), spec)
+        # final debug stream per field == the real chain's output
+        got_by_field: dict = {}
+        for stage, field, toks in stages:
+            got_by_field[field] = toks  # later stages overwrite: final wins
+        for field, series in real:
+            assert got_by_field[field] == [str(t) for t in series]
+
+    stages = debug_stages(text, FieldSpec(field="t", source="t", number_field="num"))
+    names = [s for s, _, _ in stages]
+    assert names[0] == "tokenize" and "number_tee" in names and names[-1] == "index_term"
+    tee = next(toks for s, f, toks in stages if s == "number_tee")
+    assert tee == ["7"]  # 007 canonicalized; the 2^64 boundary token stays text
+
+    seen = []
+    debug_stages("a B", FieldSpec(field="t", source="t"),
+                 callback=lambda s, t: seen.append((s, t)))
+    assert ("tokenize", "B") in seen and ("index_term", "b") in seen

@@ -244,6 +244,24 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_stats(_docs(spark, sf_dir))
 
 
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate itself (length band, uniqueness floor,
+    stopword-density ceiling) — thresholds chosen so the gate actually
+    REJECTS part of this corpus; an all-pass filter would be untested."""
+    return textstats.filter_corpus(
+        _docs(spark, sf_dir),
+        min_tokens=20, min_uniq_x1e4=3500, max_stop_x1e4=1000,
+    )
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% held-out split by keyed md5 — stable across
+    engines/partitionings/retries, which DataFrame.sample is not."""
+    return textstats.deterministic_sample(
+        _docs(spark, sf_dir), rate=0.1, seed=7
+    ).select("doc_id")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.langid(_docs(spark, sf_dir))
 
@@ -455,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine,
         "text_quality": q_text_quality,
+        "text_filter_corpus": q_filter_corpus,
+        "text_sample": q_sample,
         "text_langid": q_langid,
         "text_subword_counts": q_subword_counts,
         "text_fingerprint": q_fingerprint,
@@ -947,6 +967,27 @@ SELECT doc_id,
        CAST(floor(len(list_distinct(toks))::DOUBLE / len(toks) * 10000 + 0.5) AS BIGINT) AS uniq_ratio_x1e4,
        CAST(floor(len(list_filter(toks, x -> x IN ({stop_list})))::DOUBLE / len(toks) * 10000 + 0.5) AS BIGINT) AS stop_ratio_x1e4
 FROM t""",
+        "text_filter_corpus": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         CAST(floor(len(list_distinct(toks))::DOUBLE / len(toks) * 10000 + 0.5) AS BIGINT) AS uniq_ratio_x1e4,
+         CAST(floor(len(list_filter(toks, x -> x IN ({stop_list})))::DOUBLE / len(toks) * 10000 + 0.5) AS BIGINT) AS stop_ratio_x1e4
+  FROM t)
+SELECT * FROM q
+WHERE n_tokens >= 20
+  AND n_tokens <= {textstats.QUALITY_MAX_TOKENS}
+  AND uniq_ratio_x1e4 >= 3500
+  AND stop_ratio_x1e4 <= 1000""",
+        "text_sample": f"""
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5('7:' || doc_id), 1, 8)) AS BIGINT)
+      < CAST(floor(0.1 * 4294967296) AS BIGINT)""",
         "text_langid": f"""
 WITH t AS (
   SELECT doc_id,

@@ -103,3 +103,50 @@ def fingerprint(documents: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
     return documents.select("doc_id", F.array_min(hashes).alias("fingerprint"))
+
+
+#: default quality gates for filter_corpus — part of the operator
+#: contract, replicated literally in the SQL oracle
+QUALITY_MIN_TOKENS = 5
+QUALITY_MAX_TOKENS = 100_000
+QUALITY_MIN_UNIQ_X1E4 = 1000     # >= 10% distinct tokens
+QUALITY_MAX_STOP_X1E4 = 7000     # <= 70% stopwords
+
+
+def filter_corpus(
+    documents: DataFrame,
+    min_tokens: int = QUALITY_MIN_TOKENS,
+    max_tokens: int = QUALITY_MAX_TOKENS,
+    min_uniq_x1e4: int = QUALITY_MIN_UNIQ_X1E4,
+    max_stop_x1e4: int = QUALITY_MAX_STOP_X1E4,
+) -> DataFrame:
+    """The quality GATE itself: documents surviving the standard cheap
+    pretraining filters (length band, minimum uniqueness, maximum
+    stopword density), with their stats attached.  One narrow pass — the
+    predicate is a pure column expression over :func:`quality_stats`, so
+    Catalyst pushes the whole gate into the scan at any scale."""
+    q = quality_stats(documents)
+    return q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("uniq_ratio_x1e4") >= min_uniq_x1e4)
+        & (F.col("stop_ratio_x1e4") <= max_stop_x1e4)
+    )
+
+
+def deterministic_sample(
+    documents: DataFrame, rate: float, seed: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible corpus sampling: keep a doc iff the first 8 hex chars
+    of ``md5(seed || ':' || doc_id)`` fall under ``rate`` of the 32-bit
+    space.  Unlike ``DataFrame.sample`` this is a pure function of the
+    row KEY — stable across engines, partitionings, retries, and re-runs
+    (the property a training pipeline needs for auditable held-out
+    splits), and the exact split is reproducible in any engine with md5.
+    Disjoint splits: complementary rate bands of the SAME hash (e.g.
+    train = hash < 0.9, eval = hash >= 0.9) never overlap."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return documents.filter(h < F.lit(int(rate * (1 << 32))))

@@ -528,3 +528,41 @@ def test_ivf_pq_cells_cold_reopen_recall(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_deterministic_sample_and_quality_gate(spark):
+    """deterministic_sample must be a pure function of the row key:
+    identical membership across partitionings, nested across rates,
+    everything at rate 1.0.  filter_corpus must enforce each gate."""
+    import pandas as pd
+
+    from perlin_spark.extras.textstats import deterministic_sample, filter_corpus
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(400), "text": ["word"] * 400})
+    )
+    s5 = {r["doc_id"] for r in deterministic_sample(docs, 0.5, seed=3).collect()}
+    s5b = {r["doc_id"] for r in
+           deterministic_sample(docs.repartition(7), 0.5, seed=3).collect()}
+    s8 = {r["doc_id"] for r in deterministic_sample(docs, 0.8, seed=3).collect()}
+    assert s5 == s5b                     # partitioning-independent
+    assert s5 <= s8                      # rate bands nest
+    assert len({r["doc_id"] for r in deterministic_sample(docs, 1.0).collect()}) == 400
+    assert 120 <= len(s5) <= 280         # coarse rate sanity
+    # different seed -> different split
+    o5 = {r["doc_id"] for r in deterministic_sample(docs, 0.5, seed=4).collect()}
+    assert o5 != s5
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "tiny",                                   # under min_tokens
+            "the the the the the the the the of of",  # stopword-dense, repetitive
+            "alpha beta gamma delta epsilon zeta",    # clean
+            " ".join(["dup"] * 50),                   # uniqueness floor
+        ],
+    }))
+    kept = sorted(r["doc_id"] for r in filter_corpus(
+        corpus, min_tokens=5, min_uniq_x1e4=3000, max_stop_x1e4=5000
+    ).collect())
+    assert kept == [2]

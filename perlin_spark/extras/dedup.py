@@ -376,14 +376,15 @@ def dedup_components(
     step a training pipeline runs AFTER pair finding — cluster the dup
     graph, then keep one canonical doc per component.
 
-    Iterative min-label propagation, pure DataFrame ops: each round joins
-    the (bidirectional) edge list with current labels and takes the
-    neighborhood min.  Rounds needed = graph diameter, and near-dup
-    clusters are dense (LSH verification emits most intra-cluster pairs),
-    so 2-4 rounds is typical; labels only ever decrease, so the scalar
-    sum-of-labels is a monotone convergence probe (one tiny agg per
-    round, no row-by-row comparison).  Pass ``documents`` to include
-    docs with no dup pair as their own singleton component.
+    Iterative min-label propagation WITH pointer jumping, pure DataFrame
+    ops: each round takes the neighborhood min over the (bidirectional)
+    edge list, then resolves one level of indirection
+    (``comp[x] <- comp[comp[x]]``), halving the effective diameter —
+    chains converge in O(log diameter) rounds, dense LSH clusters in
+    2-3.  Labels only ever decrease, so the scalar sum-of-labels is a
+    monotone convergence probe (one tiny agg per round, no row-by-row
+    comparison).  Pass ``documents`` to include docs with no dup pair as
+    their own singleton component.
 
     100-TB shape: per round one (edge x label) equi-join + groupBy min —
     shuffle volume O(|edges|); no driver-side graph, no recursion depth
@@ -393,10 +394,17 @@ def dedup_components(
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+    # localCheckpoint (not persist) between rounds: the pointer-jumping
+    # self-join references the round's frame TWICE, so an un-truncated
+    # logical plan would DOUBLE every round (2^rounds analyzer nodes ->
+    # driver OOM around round ~15).  Checkpointing materializes the rows
+    # and cuts the plan, keeping every round's plan constant-size.  On a
+    # real cluster swap for reliable checkpoint()s if executor loss
+    # during the (short) loop matters.
     labels = (
         edges.select(F.col("a").alias("doc_id")).distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iters):
@@ -409,19 +417,38 @@ def dedup_components(
             .groupBy("a")
             .agg(F.min("nbr_comp").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        # (not checkpointed: the self-join doubles THIS round's plan only
+        # — the end-of-round checkpoint below truncates before the next
+        # round, so the per-round plan stays constant-size)
+        stepped = labels.join(
+            nbr.withColumnRenamed("a", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.least(
+                "component", F.coalesce("nbr_min", "component")
+            ).alias("component"),
+        )
+        # pointer jumping: comp[x] <- min(comp[x], comp[comp[x]]).  A
+        # label is always some graph node's doc_id, so the self-join
+        # resolves; combined with the one-hop neighbor step this halves
+        # the effective diameter per round — chains converge in O(log d)
+        # rounds instead of d (a 1000-link chain: ~10 rounds, not 1000)
+        parents = stepped.select(
+            F.col("doc_id").alias("comp_key"), F.col("component").alias("pcomp")
+        )
+        labels = (
+            stepped.join(
+                parents, stepped["component"] == parents["comp_key"], "left"
+            )
             .select(
                 "doc_id",
-                F.least(
-                    "component", F.coalesce("nbr_min", "component")
-                ).alias("component"),
+                F.least("component", F.coalesce("pcomp", "component")).alias(
+                    "component"
+                ),
             )
-            .persist()
+            .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease -> fixed point
             break
         prev_sum = new_sum

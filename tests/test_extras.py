@@ -566,3 +566,28 @@ def test_deterministic_sample_and_quality_gate(spark):
         corpus, min_tokens=5, min_uniq_x1e4=3000, max_stop_x1e4=5000
     ).collect())
     assert kept == [2]
+
+
+def test_dedup_components_long_chain_converges_fast(spark):
+    """Pointer jumping: a 64-link chain must resolve to one component in
+    O(log d) label rounds, not 64 — pinned by counting Spark jobs (each
+    round costs a fixed small number of jobs; the old one-hop loop would
+    need 60+ rounds and blow this budget)."""
+    import pandas as pd
+
+    from perlin_spark.extras.dedup import dedup_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n),
+                      "jacc_x1e4": [10000] * (n - 1)})
+    )
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None))
+    comps = dedup_components(pairs).collect()
+    j1 = len(tracker.getJobIdsForGroup(None))
+    assert {r["component"] for r in comps} == {0}
+    assert len(comps) == n
+    # ~log2(64)+3 ≈ 9 rounds at ~8 AQE jobs each; the one-hop loop would
+    # need 60+ rounds (~500 jobs) — budget excludes O(d) convergence
+    assert (j1 - j0) <= 120

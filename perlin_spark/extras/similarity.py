@@ -621,6 +621,12 @@ def pq_topk_from_codes(
     """Query a (vec_id, codes[, embedding]) table: ADC scan over codes
     only; with ``rerank`` the shortlist joins back exact cosine (requires
     the ``embedding`` column)."""
+    if rerank is not None and "embedding" not in coded.columns:
+        raise ValueError(
+            "rerank needs the 'embedding' column in the codes table "
+            "(write_ivf_pq_cells keep_embeddings=True, or join a vector "
+            "store onto the shortlist); pass rerank=None for ADC-only"
+        )
     scored = coded.withColumn("adc", pq_adc_score_col(codebooks, query_vec))
     if exclude_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_id)

@@ -475,6 +475,12 @@ def test_pq_topk_recall_persistence_and_adc_parity(spark, tmp_path):
     a = S.pq_topk_from_codes(coded, cb, q, k=10, exclude_id=7).collect()
     b = S.pq_topk_from_codes(coded, cb2, q, k=10, exclude_id=7).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # rerank against a codes-only table must fail with a clear message,
+    # not an opaque unresolved-column error
+    import pytest
+
+    with pytest.raises(ValueError, match="embedding"):
+        S.pq_topk_from_codes(coded, cb, q, k=10, rerank=20)
 
     # ADC parity: JVM lookup-table aggregate == numpy lookup sum
     rows = (

@@ -563,29 +563,52 @@ def pq_encode_udf(codebooks: np.ndarray):
     return encode
 
 
+#: above this many LUT entries the inlined-literal expression is replaced
+#: by an Arrow UDF — m*ks literals cost Catalyst analysis PER QUERY and
+#: stall the planner in the thousands (the same blowup the IVF cell
+#: assignment hit with inlined centroids)
+ADC_INLINE_MAX = 512
+
+
 def pq_adc_score_col(codebooks: np.ndarray, query_vec: list[float]):
-    """Column: ADC approximate cosine for a ``codes`` column — the query's
-    per-subspace inner products with every centroid are inlined as an
-    m x ks literal lookup table, so scoring is JVM-side ``aggregate`` over
-    m lookups (no UDF, whole-stage codegen eligible)."""
+    """Column: ADC approximate cosine for a ``codes`` column.
+
+    Small LUTs (m*ks <= ADC_INLINE_MAX, the 8x16 default) inline the
+    query's per-subspace inner products as literals, so scoring is
+    JVM-side ``aggregate`` over m lookups — no UDF, whole-stage codegen
+    eligible.  Larger configurations (e.g. ks=256 production codebooks)
+    ship the LUT in an Arrow UDF closure instead: one numpy take+sum per
+    batch, and the plan stays tiny."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-30)
     m, ks, dsub = codebooks.shape
     lut = np.stack(
         [codebooks[i] @ qn[i * dsub : (i + 1) * dsub] for i in range(m)]
     )  # (m, ks)
-    lut_col = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
-    )
-    return F.aggregate(
-        F.zip_with(
-            lut_col,
-            F.col("codes"),
-            lambda row, code: F.element_at(row, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    if m * ks <= ADC_INLINE_MAX:
+        lut_col = F.array(
+            *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+        )
+        return F.aggregate(
+            F.zip_with(
+                lut_col,
+                F.col("codes"),
+                lambda row, code: F.element_at(row, code + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype="float64")
+        C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])  # (B, m)
+        return pd.Series(lut[np.arange(m), C].sum(axis=1))
+
+    return adc(F.col("codes"))
 
 
 def pq_topk(

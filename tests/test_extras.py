@@ -597,3 +597,29 @@ def test_dedup_components_long_chain_converges_fast(spark):
     # ~log2(64)+3 ≈ 9 rounds at ~8 AQE jobs each; the one-hop loop would
     # need 60+ rounds (~500 jobs) — budget excludes O(d) convergence
     assert (j1 - j0) <= 120
+
+
+def test_pq_adc_udf_path_matches_inline(spark):
+    """Above ADC_INLINE_MAX the scoring column switches from inlined
+    literals to an Arrow UDF; both paths must produce identical scores
+    on the same codes."""
+    import numpy as np
+
+    from perlin_spark.extras import similarity as S
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(80, 32))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in X[3]]
+    cb = S.pq_codebooks(emb, m=8, ks=16)
+    inline = S.pq_topk(emb, q, k=10, codebooks=cb, exclude_id=3).collect()
+    old = S.ADC_INLINE_MAX
+    try:
+        S.ADC_INLINE_MAX = 0  # force the UDF path
+        via_udf = S.pq_topk(emb, q, k=10, codebooks=cb, exclude_id=3).collect()
+    finally:
+        S.ADC_INLINE_MAX = old
+    assert [tuple(r) for r in inline] == [tuple(r) for r in via_udf]

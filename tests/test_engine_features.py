@@ -205,3 +205,43 @@ def test_hierarchy_dataframe_bfs_expansion(spark):
     q = QuerySpec(groups=(("text", "any", tuple(expanded)),))
     got = sorted(r["doc_id"] for r in eng.search(q, k=10).collect())
     assert got == [0, 2, 3]
+
+
+def test_search_plan_properties(spark, tmp_path):
+    """The two load-bearing plan claims, pinned: (a) a persisted index
+    search prunes the parquet scan by bucket partition (PartitionFilters,
+    not a post-scan filter); (b) a cached index's serving layout makes
+    the scoring stage exchange-free (scan -> filter -> applyInPandas ->
+    TakeOrderedAndProject in ONE stage)."""
+    from perlin_spark import build_epoch, load_index
+    from perlin_spark.analysis import reference_specs
+    from perlin_spark.fixtures import golden_corpus
+
+    root = str(tmp_path / "planidx")
+    build_epoch(spark, golden_corpus(spark), reference_specs(), root,
+                n_shards=2, buckets=4)
+    pl = QueryPipeline(
+        text_spec=FieldSpec(field="text", source="text", stem=True,
+                            number_field="number"))
+
+    idx = load_index(spark, root)
+    df = PerlinEngine(idx, pl).search("deimos", k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+    idx2 = load_index(spark, root).cache()
+    idx2.postings.count()  # materialize the shard-partitioned cache
+    df2 = PerlinEngine(idx2, pl).search("deimos", k=10)
+    df2.collect()
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan2
+    # single stage ABOVE the cache scan: the shard layout satisfies the
+    # groupBy distribution, so no Exchange sits between the
+    # InMemoryTableScan and the pandas scorer (the cached relation's own
+    # stored build plan below it legitimately contains the one-time
+    # repartition Exchange)
+    query_stage = plan2.split("InMemoryRelation", 1)[0]
+    assert "Exchange" not in query_stage
+    assert "TakeOrderedAndProject" in query_stage

@@ -25,7 +25,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from perlin_spark import FieldSpec, Must, MustNot, PerlinEngine, QueryPipeline
 from perlin_spark import codec
-from perlin_spark.extras import dedup, similarity, textstats
+from perlin_spark.extras import dedup, events, similarity, textstats
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -169,6 +169,19 @@ def q_must_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return _score_x1e4(eng.search("scan", k=10, filters=[MustNot("text", "dup")]))
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour per-type event stats — the batch twin of the
+    streaming windowed aggregation (perlin_spark.streaming)."""
+    return events.windowed_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), hours=1
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (>30 min silence starts a session)."""
+    return events.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_bm25_mixed_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
+        "events_windowed_stats": q_events_windowed,
+        "events_sessions": q_events_sessions,
         "ann_cosine_topk": q_ann_cosine,
         "text_quality": q_text_quality,
         "text_filter_corpus": q_filter_corpus,
@@ -924,6 +939,34 @@ reach(doc_id, comp) AS (
 comp AS (SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id)
 SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
 FROM documents d LEFT JOIN comp c USING (doc_id)""",
+        "events_windowed_stats": """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start_s,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_x100
+FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+t AS (
+  SELECT user_id, value, sec, event_id,
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o),
+s AS (
+  SELECT user_id, value, sec,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM t)
+SELECT user_id, session_no::BIGINT AS session_no,
+       min(sec) AS sess_start_s,
+       count(*)::BIGINT AS n_events,
+       (max(sec) - min(sec))::BIGINT AS duration_s,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_x100
+FROM s GROUP BY 1, 2""",
         "dedup_survivors": f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTES},
 pairs AS (SELECT doc_a, doc_b FROM jacc WHERE j >= 0.12),

@@ -1,5 +1,5 @@
 """Training-data pipeline operators: dedup, similarity, text stats, multimodal."""
 
-from . import dedup, multimodal, similarity, textstats
+from . import dedup, events, multimodal, similarity, textstats
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal"]
+__all__ = ["dedup", "events", "similarity", "textstats", "multimodal"]

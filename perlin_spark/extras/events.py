@@ -1,0 +1,80 @@
+"""Event-stream analytics over the ``events`` table (batch form).
+
+These are the batch twins of the structured-streaming operators in
+``perlin_spark.streaming`` — the same aggregations a pipeline runs
+windowed over a stream are expressed here as plain DataFrame ops with
+exact DuckDB oracles (``__spark_entry__.py``).  All JVM-side: window
+functions + aggregates, no Python on the data path.
+
+Timestamps are compared at SECOND granularity on both engines (Spark's
+``cast(ts as long)`` and DuckDB's ``epoch(ts)`` both floor), so gap and
+bucket arithmetic is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_S = 30 * 60  # a >30-minute silence starts a new session
+
+
+def _epoch_s(col):
+    """Wall-clock seconds since 1970-01-01 for a (NTZ or LTZ) timestamp
+    column — timestamp arithmetic, not a cast, because TIMESTAMP_NTZ has
+    no BIGINT cast and an LTZ round-trip would drag the session timezone
+    into the comparison.  Floors to seconds like DuckDB's epoch()."""
+    return F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
+def windowed_stats(events: DataFrame, hours: int = 1) -> DataFrame:
+    """Tumbling-window per-event-type stats: (win_start_s, event_type,
+    n_events, n_users, sum_value_x100).  Spark's ``window()`` and
+    DuckDB's ``time_bucket`` both align buckets to the epoch origin, so
+    the bucket starts agree exactly."""
+    win = F.window(F.col("ts"), f"{hours} hour")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("sum_value_x100"),
+        )
+        .select(
+            _epoch_s(F.col("w.start")).alias("win_start_s"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value_x100",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessionization: a user's events split into sessions
+    wherever consecutive events are more than ``gap_s`` apart.  One
+    window pass (lag + running sum of session-start flags) + one
+    aggregate — the standard O(n log n)-per-user shape; the shuffle key
+    is ``user_id``, so skew follows the user activity distribution and
+    AQE's skew-join handling applies at scale.
+
+    Returns (user_id, session_no, sess_start_s, n_events, duration_s,
+    sum_value_x100), session_no numbered from 0 per user in time order."""
+    sec = _epoch_s(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
+    new_sess = F.when(
+        sec - F.lag(sec).over(w) > gap_s, F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = events.withColumn("session_no", F.sum(new_sess).over(w))
+    return (
+        tagged.groupBy("user_id", "session_no")
+        .agg(
+            F.min(sec).alias("sess_start_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(sec) - F.min(sec)).alias("duration_s"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("sum_value_x100"),
+        )
+    )

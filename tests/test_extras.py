@@ -623,3 +623,30 @@ def test_pq_adc_udf_path_matches_inline(spark):
     finally:
         S.ADC_INLINE_MAX = old
     assert [tuple(r) for r in inline] == [tuple(r) for r in via_udf]
+
+
+def test_sessionize_gap_boundary(spark):
+    """The session gap is strict (> gap_s): events exactly gap_s apart
+    stay in one session; one second more starts a new one."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from perlin_spark.extras.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = pd.DataFrame({
+        "event_id": [0, 1, 2, 3],
+        "ts": [t0, t0 + dt.timedelta(seconds=1800),
+               t0 + dt.timedelta(seconds=1800 + 1801), t0 + dt.timedelta(days=30)],
+        "user_id": [7, 7, 7, 8],
+        "event_type": ["view"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    got = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["duration_s"])
+        for r in sessionize(spark.createDataFrame(rows), gap_s=1800).collect()
+    }
+    # user 7: events 0,1 in session 0 (exactly 1800s apart); event 2 opens
+    # session 1; user 8 is its own session
+    assert got == {(7, 0): (2, 1800), (7, 1): (1, 0), (8, 0): (1, 0)}

@@ -184,6 +184,11 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON probe of the props column, per event type."""
+    return events.props_key_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_bm25_mixed_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-group + Must + May + MustNot in ONE query — the role
     interaction path (query.py candidate gen -> chained filters -> May
@@ -486,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "events_props_stats": q_events_props,
         "ann_cosine_topk": q_ann_cosine,
         "text_quality": q_text_quality,
         "text_filter_corpus": q_filter_corpus,
@@ -967,6 +973,13 @@ SELECT user_id, session_no::BIGINT AS session_no,
        (max(sec) - min(sec))::BIGINT AS duration_s,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_x100
 FROM s GROUP BY 1, 2""",
+        "events_props_stats": """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n_with_key,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n_distinct_vals,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_vals
+FROM events GROUP BY 1""",
         "dedup_survivors": f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTES},
 pairs AS (SELECT doc_a, doc_b FROM jacc WHERE j >= 0.12),

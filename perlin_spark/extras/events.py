@@ -78,3 +78,22 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
             F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("sum_value_x100"),
         )
     )
+
+
+def props_key_stats(events: DataFrame, key: str = "k") -> DataFrame:
+    """Semi-structured extraction: pull ``$.key`` out of the ``props``
+    JSON column (``get_json_object`` — JVM-side Jackson path, no UDF)
+    and aggregate per event type: how many events carry the key, how
+    many distinct values, and their sum.  The standard first probe a
+    pipeline runs against an unknown JSON side-channel column."""
+    v = F.get_json_object(F.col("props"), f"$.{key}").cast("long")
+    return (
+        events.withColumn("v", v)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("v").alias("n_with_key"),
+            F.countDistinct("v").alias("n_distinct_vals"),
+            F.sum("v").alias("sum_vals"),
+        )
+    )

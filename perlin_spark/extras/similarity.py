@@ -723,7 +723,9 @@ def pq_kmeans_codebooks(
     encode/scan, not training).  Deterministic: seeded init + argmin
     first-match assignment."""
     cb = pq_codebooks(embeddings, m, ks)
-    sample = embeddings.limit(10000).collect()
+    # deterministic sample: an unordered limit() depends on partition
+    # order and would contradict the determinism contract above
+    sample = embeddings.orderBy("vec_id").limit(10000).collect()
     X = _normalize_rows(
         np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
     )

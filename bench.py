@@ -47,6 +47,34 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CODE_ROWS = int(os.environ.get("SPARK_GRAFT_CODE_ROWS", "20000"))
 QUERY_REPS = 5
 
+# --- host fault-budget probe (BENCH.md "Host ceiling") ---------------------
+# This sandbox rate-limits page faults with a refilling credit bucket: when
+# drained (e.g. right after pytest/correctness/scaling runs), fresh-page
+# throughput collapses from ~1.1 GB/s to ~11 MB/s and every timed section
+# measures the throttle, not the job (the r3 artifact's 2x-slow builds).
+# Instead of fixed sleeps, probe fresh-page throughput directly and wait
+# until it recovers; every probe value is recorded in the output JSON so a
+# slow artifact is self-explaining.
+PROBE_MB = 128
+HEALTHY_MBPS = float(os.environ.get("SPARK_GRAFT_FAULT_HEALTHY_MBPS", "600"))
+MAX_AWAIT_S = float(os.environ.get("SPARK_GRAFT_FAULT_MAX_AWAIT", "300"))
+_PROBE_SRC: bytes | None = None
+
+
+def fault_probe_mbps() -> float:
+    """Touch PROBE_MB of fresh anonymous pages; return MB/s (fault rate)."""
+    global _PROBE_SRC
+    import mmap
+
+    if _PROBE_SRC is None:
+        _PROBE_SRC = b"\x01" * (PROBE_MB << 20)
+    t0 = time.perf_counter()
+    m = mmap.mmap(-1, PROBE_MB << 20)
+    m[:] = _PROBE_SRC
+    dt = time.perf_counter() - t0
+    m.close()
+    return PROBE_MB / dt
+
 DOC_SPEC = FieldSpec(field="text", source="text", tokenizer="whitespace", lowercase=True)
 
 QUERY_MIX = [
@@ -84,6 +112,9 @@ def main() -> None:
     times: dict[str, float] = {}
     t_total0 = time.perf_counter()
     sleep_total = 0.0
+    await_spent = 0.0
+    probe_log: dict[str, int] = {}
+    samples_log: dict[str, list[float]] = {}
 
     def cooldown(sec: float) -> None:
         # harness-only pause (page-fault credit refill, BENCH.md) — excluded
@@ -91,6 +122,19 @@ def main() -> None:
         nonlocal sleep_total
         sleep_total += sec
         time.sleep(sec)
+
+    def await_budget(tag: str, floor: float = 5.0) -> None:
+        # adaptive replacement for fixed cooldowns: sleep only until the
+        # host's fresh-page throughput recovers (global cap MAX_AWAIT_S),
+        # and record the probe value the timed section actually ran under
+        nonlocal await_spent
+        cooldown(floor)
+        r = fault_probe_mbps()
+        while r < HEALTHY_MBPS and await_spent < MAX_AWAIT_S:
+            cooldown(20.0)
+            await_spent += 20.0
+            r = fault_probe_mbps()
+        probe_log[tag] = int(r)
 
     # --- build: driver documents table -------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -104,14 +148,13 @@ def main() -> None:
     )
     warm.index.postings.count()
     warm.index.unpersist()
-    # refill the host's page-fault credit bucket before timing (BENCH.md);
-    # best-of-2 rides out a residual stall
-    cooldown(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45")))
+    await_budget("before_build_documents", floor=10.0)
     eng, times["build_documents"] = None, float("inf")
+    samples_log["build_documents"] = []
     for rep in range(3):
         if eng is not None:
             eng.index.unpersist()
-            cooldown(15)  # partial refill between reps
+            await_budget(f"build_documents_rep{rep}", floor=5.0)
         t0 = time.perf_counter()
         eng = PerlinEngine.build(
             spark, docs, [DOC_SPEC],
@@ -119,7 +162,9 @@ def main() -> None:
             content_col="text", n_shards=max(CPUS // 2, 4),
         ).cache()
         force(eng)
-        times["build_documents"] = min(times["build_documents"], time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        samples_log["build_documents"].append(round(dt, 3))
+        times["build_documents"] = min(times["build_documents"], dt)
 
     # --- build: synthetic code corpus (input_hint schema) -------------------
     code = synth_code_corpus(spark, CODE_ROWS).repartition(CPUS)
@@ -132,12 +177,13 @@ def main() -> None:
     )
     warm.index.postings.count()
     warm.index.unpersist()
-    cooldown(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45")) // 2)
+    await_budget("before_build_code", floor=10.0)
     code_eng, times["build_code"] = None, float("inf")
+    samples_log["build_code"] = []
     for rep in range(3):
         if code_eng is not None:
             code_eng.index.unpersist()
-            cooldown(15)
+            await_budget(f"build_code_rep{rep}", floor=5.0)
         t0 = time.perf_counter()
         code_eng = PerlinEngine.build(
             spark, code, code_specs(),
@@ -146,7 +192,9 @@ def main() -> None:
             content_col="content", n_shards=max(CPUS // 2, 4),
         ).cache()
         force(code_eng)
-        times["build_code"] = min(times["build_code"], time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        samples_log["build_code"].append(round(dt, 3))
+        times["build_code"] = min(times["build_code"], dt)
     build_docs_per_sec = (n_docs + CODE_ROWS) / (
         times["build_documents"] + times["build_code"]
     )
@@ -154,7 +202,7 @@ def main() -> None:
     # --- query latency mix (untimed warmup reps per query: first-hit cost
     # is vocab-cache fill + broadcast build, paid once per term) -----------
     spark.sparkContext._jvm.System.gc()
-    cooldown(10)
+    await_budget("before_queries", floor=5.0)
     samples: list[float] = []
     for name, q, filters in QUERY_MIX:
         for _ in range(3):  # settle JIT/codegen/worker reuse (see BENCH.md)
@@ -182,6 +230,7 @@ def main() -> None:
     p95_ms = samples[int(len(samples) * 0.95) - 1] * 1000
 
     # --- extras headliners (same steady-state policy: warm, best-of-2) ------
+    await_budget("before_extras", floor=5.0)
     dedup.minhash_lsh_pairs(docs, threshold=0.12).count()  # warm
     times["dedup_minhash_lsh"] = float("inf")
     for _ in range(2):
@@ -250,6 +299,13 @@ def main() -> None:
         "n_docs": n_docs + CODE_ROWS,
         "build_docs_per_sec": round(build_docs_per_sec, 1),
         "query_p95_ms": round(p95_ms, 1),
+        # host-state evidence: fresh-page throughput each timed section ran
+        # under (healthy ~1100 MB/s idle; the documented drained state is
+        # ~11 MB/s) and every per-rep build sample — a slow artifact is
+        # self-explaining instead of silently 2x off (r3 verdict item 1)
+        "host_fault_probe_mbps": probe_log,
+        "build_samples": samples_log,
+        "await_budget_spent_s": round(await_spent, 1),
     }
     # attach the latest N-vs-4N scaling evidence (scripts/scaling_bench.py)
     sr = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_result.json")

@@ -976,9 +976,9 @@ FROM s GROUP BY 1, 2""",
         "events_props_stats": """
 SELECT event_type,
        count(*)::BIGINT AS n_events,
-       count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n_with_key,
-       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n_distinct_vals,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_vals
+       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n_with_key,
+       count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n_distinct_vals,
+       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_vals
 FROM events GROUP BY 1""",
         "dedup_survivors": f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTES},

@@ -599,41 +599,62 @@ def compact_epochs(
         parts = p if parts is None else parts.unionByName(p)
     out_schema = parts.drop("epoch").schema
 
+    out_cols = [f.name for f in out_schema.fields]
+    gkeys = ["bucket", "field", "term", "shard"]
+
     def splice(batches):
-        # materialize the WHOLE partition before grouping (the
-        # merge_partials pattern, build.py merge()): sortWithinPartitions
-        # makes a (bucket,field,term,shard) group contiguous in the
-        # partition but says nothing about Arrow batch boundaries
-        # (spark.sql.execution.arrow.maxRecordsPerBatch) — grouping each
-        # batch independently would emit a straddling group as TWO rows
-        # and silently halve its postings at scale
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        merged_rows = []
-        for (bkt, field, term, shard), grp in pdf.groupby(
-            ["bucket", "field", "term", "shard"], sort=False
-        ):
-            if len(grp) == 1:
-                merged_rows.append(grp.drop(columns=["epoch"]))
-                continue
-            grp = grp.sort_values("epoch")
-            blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
-            merged_rows.append(
-                pd.DataFrame(
-                    {
-                        "field": [field],
-                        "term": [term],
-                        "shard": [shard],
-                        "df": [int(grp["df"].sum())],
-                        "max_tf": [int(grp["max_tf"].max())],
-                        "blob": [blob],
-                        "bucket": [bkt],
-                    }
+        # STREAM the Arrow batches: sortWithinPartitions makes each
+        # (bucket,field,term,shard) group contiguous in the partition but
+        # says nothing about Arrow batch boundaries
+        # (spark.sql.execution.arrow.maxRecordsPerBatch), so only the
+        # group straddling the current boundary is carried into the next
+        # batch.  Peak executor-python memory is O(maxRecordsPerBatch +
+        # largest single group) — grouping each batch independently would
+        # silently split a straddling group (the r3 bug), while
+        # concatenating the whole partition (the r3 fix) re-unbounded the
+        # materialization (r3 ADVICE item).
+        import numpy as np
+
+        def merge(pdf):
+            merged_rows = []
+            for (bkt, field, term, shard), grp in pdf.groupby(gkeys, sort=False):
+                if len(grp) == 1:
+                    merged_rows.append(grp.drop(columns=["epoch"]))
+                    continue
+                grp = grp.sort_values("epoch")
+                blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
+                merged_rows.append(
+                    pd.DataFrame(
+                        {
+                            "field": [field],
+                            "term": [term],
+                            "shard": [shard],
+                            "df": [int(grp["df"].sum())],
+                            "max_tf": [int(grp["max_tf"].max())],
+                            "blob": [blob],
+                            "bucket": [bkt],
+                        }
+                    )
                 )
-            )
-        yield pd.concat(merged_rows, ignore_index=True)
+            return pd.concat(merged_rows, ignore_index=True)[out_cols]
+
+        carry = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # the trailing group may continue in the next batch: hold its
+            # rows back.  Sorted input => the trailing group is exactly
+            # the suffix of rows whose key equals the last row's key.
+            eq = (pdf[gkeys] == pdf[gkeys].iloc[-1]).all(axis=1).to_numpy()
+            suffix = len(pdf) if eq.all() else int(np.argmin(eq[::-1]))
+            carry = pdf.iloc[len(pdf) - suffix:]
+            body = pdf.iloc[: len(pdf) - suffix]
+            if len(body):
+                yield merge(body)
+        if carry is not None and len(carry):
+            yield merge(carry)
 
     shuffle_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")

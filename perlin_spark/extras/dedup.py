@@ -35,6 +35,27 @@ MINHASH_BS = [7919 * (i + 1) % MINHASH_P for i in range(N_HASHES)]
 
 SHINGLE_K = 3  # tokens per shingle
 
+#: intermediate frames persisted by this module's operators — the same
+#: owner-managed lifecycle as IndexData._persisted in build.py: the frames
+#: stay cached (reused across calls via CacheManager plan matching), and a
+#: long-lived session releases them explicitly instead of leaking them
+_CACHED: list[DataFrame] = []
+
+
+def release_cache() -> None:
+    """Unpersist every intermediate frame cached by this module's
+    operators (shingle tables, dup-group membership).  Call between
+    corpora in a long-lived session; results already computed stay
+    valid — only the reusable intermediates are dropped."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
 
 def _tokens(col: str = "text"):
     # empty tokens dropped for parity with the engine tokenizer and the
@@ -167,8 +188,10 @@ def minhash_lsh_pairs(
     members = documents.select(F.sha2(F.col("text"), 256).alias("sha"), "doc_id")
     # membership table for DUPLICATED groups only: every join below is
     # sized by dup-group members (AQE broadcasts it when small), never by
-    # the whole corpus — unique docs pass through untouched
-    m = (
+    # the whole corpus — unique docs pass through untouched.  Persisted via
+    # the tracked-cache lifecycle (release_cache()) so the four consumers
+    # share one computation without leaking the entry forever.
+    m = _persist(
         members.join(
             members.groupBy("sha")
             .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_members"))
@@ -177,7 +200,6 @@ def minhash_lsh_pairs(
             "sha",
         )
         .select("rep", "doc_id")
-        .persist()
     )
     non_reps = m.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
     rep_docs = documents.join(non_reps, "doc_id", "left_anti")
@@ -221,7 +243,13 @@ def _minhash_lsh_rep_pairs(
     documents: DataFrame, threshold: float, k: int, bucket_cap: int | None
 ) -> DataFrame:
     """LSH core over (already exact-deduped) documents."""
-    sh = shingles_df(documents, k).persist()
+    # persisted via the tracked-cache lifecycle (release_cache()): the
+    # expensive tokenize+shingle map runs once for the four consumers and
+    # a long-lived session can release the entry instead of leaking it.
+    # (At 100 TB, materialize shingles to parquet instead of a memory
+    # cache — the candidates-only verify, not the cache, is the
+    # load-bearing shape.)
+    sh = _persist(shingles_df(documents, k))
     sig = minhash_signatures(sh)
     bands = []
     for j in range(BANDS):

@@ -6,9 +6,11 @@ windowed over a stream are expressed here as plain DataFrame ops with
 exact DuckDB oracles (``__spark_entry__.py``).  All JVM-side: window
 functions + aggregates, no Python on the data path.
 
-Timestamps are compared at SECOND granularity on both engines (Spark's
-``cast(ts as long)`` and DuckDB's ``epoch(ts)`` both floor), so gap and
-bucket arithmetic is bit-identical across engines.
+Timestamps are compared at SECOND granularity on both engines and the
+epoch-seconds derivation is timezone-invariant (``unix_timestamp`` for
+LTZ instants, epoch-origin arithmetic for NTZ — see ``_epoch_s``), so
+gap and bucket arithmetic is bit-identical across engines regardless of
+``spark.sql.session.timeZone``.
 """
 
 from __future__ import annotations
@@ -18,37 +20,38 @@ from pyspark.sql import DataFrame, Window, functions as F
 SESSION_GAP_S = 30 * 60  # a >30-minute silence starts a new session
 
 
-def _epoch_s(col):
-    """Wall-clock seconds since 1970-01-01 for a (NTZ or LTZ) timestamp
-    column — timestamp arithmetic, not a cast, because TIMESTAMP_NTZ has
-    no BIGINT cast and an LTZ round-trip would drag the session timezone
-    into the comparison.  Floors to seconds like DuckDB's epoch()."""
-    return F.timestamp_diff(
-        "SECOND",
-        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        col.cast("timestamp_ntz"),
-    )
+def _epoch_s(events: DataFrame, colname: str = "ts"):
+    """Seconds since 1970-01-01 for the timestamp column, **timezone
+    invariant**: LTZ columns go through ``unix_timestamp`` (an instant's
+    epoch seconds, independent of ``spark.sql.session.timeZone``); NTZ
+    columns through timestamp arithmetic against the epoch origin (NTZ
+    has no BIGINT cast, and an LTZ round-trip would drag the session
+    timezone in).  Both floor to seconds like DuckDB's ``epoch()``."""
+    col = F.col(colname)
+    if dict(events.dtypes).get(colname) == "timestamp_ntz":
+        return F.timestamp_diff(
+            "SECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            col,
+        )
+    return F.unix_timestamp(col)
 
 
 def windowed_stats(events: DataFrame, hours: int = 1) -> DataFrame:
     """Tumbling-window per-event-type stats: (win_start_s, event_type,
-    n_events, n_users, sum_value_x100).  Spark's ``window()`` and
-    DuckDB's ``time_bucket`` both align buckets to the epoch origin, so
-    the bucket starts agree exactly."""
-    win = F.window(F.col("ts"), f"{hours} hour")
+    n_events, n_users, sum_value_x100).  The bucket start is integer
+    arithmetic on epoch seconds (``floor(sec/width)*width``) rather than
+    ``F.window`` — identical to DuckDB's UTC-aligned ``time_bucket``
+    under ANY session timezone, whereas ``window()`` on an LTZ column
+    aligns buckets to the session timezone's epoch origin."""
+    width = hours * 3600
+    bucket = (F.floor(_epoch_s(events) / width) * width).cast("long")
     return (
-        events.groupBy(win.alias("w"), "event_type")
+        events.groupBy(bucket.alias("win_start_s"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("sum_value_x100"),
-        )
-        .select(
-            _epoch_s(F.col("w.start")).alias("win_start_s"),
-            "event_type",
-            "n_events",
-            "n_users",
-            "sum_value_x100",
         )
     )
 
@@ -63,7 +66,7 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
 
     Returns (user_id, session_no, sess_start_s, n_events, duration_s,
     sum_value_x100), session_no numbered from 0 per user in time order."""
-    sec = _epoch_s(F.col("ts"))
+    sec = _epoch_s(events)
     w = Window.partitionBy("user_id").orderBy(sec, "event_id")
     new_sess = F.when(
         sec - F.lag(sec).over(w) > gap_s, F.lit(1)

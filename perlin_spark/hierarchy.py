@@ -69,7 +69,11 @@ class Hierarchy:
         is persisted so the emptiness probe doesn't recompute the chain.
 
         ``seeds`` may be a list[str] or a DataFrame with a ``term``
-        column.  Returns a DataFrame('term') of seeds + descendants."""
+        column.  Returns a DataFrame('term') of seeds + descendants; the
+        result is persisted (it is the one frame that must survive the
+        call) — superseded per-level frames are unpersisted as soon as
+        their successor is materialized, so a long-lived session holds
+        exactly one cached frame per call, not one per taxonomy level."""
         spark = hierarchy.sparkSession
         if not isinstance(seeds, DataFrame):
             seeds = spark.createDataFrame([(t,) for t in seeds], "term string")
@@ -80,11 +84,18 @@ class Hierarchy:
                 F.broadcast(frontier.select(F.col("term").alias("parent"))),
                 "parent",
             ).select("term")
-            frontier = children.join(seen, "term", "left_anti").distinct().persist()
-            if frontier.isEmpty():
+            new_frontier = children.join(seen, "term", "left_anti").distinct().persist()
+            done = new_frontier.isEmpty()  # materializes new_frontier
+            if frontier is not seen:
                 frontier.unpersist()
+            if done:
+                new_frontier.unpersist()
                 return seen
-            seen = seen.unionByName(frontier).persist()
+            frontier = new_frontier
+            new_seen = seen.unionByName(frontier).persist()
+            new_seen.count()  # materialize before releasing its predecessor
+            seen.unpersist()
+            seen = new_seen
 
     def expand_via_df(self, terms: list[str]) -> list[str]:
         """:meth:`expand` computed through the DataFrame BFS (round-trips

@@ -233,7 +233,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir))
+    """The ONE-PASS Arrow signature path (scale default) against the
+    SQL-derivation oracle — the SQL-form ``dedup.simhash`` is the
+    oracle-parity reference, equality additionally property-tested."""
+    return dedup.simhash_arrow(_docs(spark, sf_dir))
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,8 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # --- pinned MinHash parameters (must match the SQL oracle) ---------------
@@ -317,7 +319,11 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 -> always below 2^63 (BIGINT-safe)
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — tf-weighted 60-bit SimHash of the token stream."""
+    """(doc_id, simhash) — tf-weighted 60-bit SimHash of the token stream.
+
+    SQL-form ORACLE-PARITY reference (exactly reproducible in DuckDB);
+    it explodes 60 rows per (doc, term).  The production path is
+    :func:`simhash_arrow` — same result, one Arrow pass per document."""
     toks = documents.select(
         "doc_id", F.explode(_tokens()).alias("term")
     ).filter(F.col("term") != "")
@@ -338,6 +344,54 @@ def simhash(documents: DataFrame) -> DataFrame:
                 F.lit(0)
             )
         ).alias("simhash")
+    )
+
+
+def simhash_arrow(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — identical result to :func:`simhash`, computed
+    in ONE Arrow-UDF pass per document instead of the SQL form's
+    60-rows-per-(doc, term) explode (a 60x shuffle amplification of the
+    tf table, the r3 efficiency note).  This is the scale path and the
+    default signature source for :func:`simhash_near_pairs`; the SQL
+    form stays as the oracle-parity reference, equality pinned by
+    ``tests/test_extras.py::test_simhash_arrow_equals_sql``.
+
+    Parity details: tokens split on ASCII whitespace runs (``re.ASCII``
+    matches Java's ``\\s``), lowercased, empties dropped; term hash is
+    the first 15 md5 hex chars as an integer, exactly the SQL
+    ``conv(substring(md5(term), 1, 15), 16, 10)``.  Docs with no tokens
+    are filtered out, matching the explode-drops-empty semantics."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sig(text: pd.Series) -> pd.Series:
+        import hashlib
+        from collections import Counter
+
+        out = np.zeros(len(text), dtype=np.int64)
+        cache: dict[str, np.ndarray] = {}
+        for r, t in enumerate(text):
+            tf = Counter(w for w in _re.split(r"\s+", t.lower(), flags=_re.ASCII) if w)
+            sums = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for term, n in tf.items():
+                bits = cache.get(term)
+                if bits is None:
+                    h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
+                    bits = (2 * ((h >> shifts) & 1) - 1).astype(np.int64)
+                    cache[term] = bits
+                sums += n * bits
+            out[r] = int(((sums > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    # exact explode-drops-empty parity: keep docs with >= 1 token under
+    # the SAME tokenizer (trim would miss tab/newline-only texts)
+    return (
+        documents.filter(F.size(_tokens()) > 0)
+        .select("doc_id", sig(F.col("text")).alias("simhash"))
     )
 
 
@@ -371,7 +425,7 @@ def simhash_near_pairs(
     ``bits/(d+1)`` controls selectivity, so large radii on short
     signatures get expensive — that's inherent to exact Hamming search,
     not to this plan."""
-    s = sigs if sigs is not None else simhash(documents)
+    s = sigs if sigs is not None else simhash_arrow(documents)
     tables = []
     for lo, width in simhash_blocks(max_hamming):
         key = F.expr(f"(simhash >> {lo}) & {(1 << width) - 1}")

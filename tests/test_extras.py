@@ -31,6 +31,33 @@ def test_simhash_near_equals_bruteforce(spark):
     assert want, "fixture produced no near pairs; test is vacuous"
 
 
+def test_simhash_arrow_equals_sql(spark):
+    """The one-pass Arrow signature path (scale default, no 60x explode)
+    must equal the SQL-form oracle-parity reference bit-for-bit — on
+    edge cases (empty/whitespace-only text dropped, duplicate texts
+    identical, tabs/newlines/case folding) and on the real corpus."""
+    rows = [
+        (0, "alpha beta beta gamma"),
+        (1, "  alpha\tBETA\ngamma  "),
+        (2, "sort merge join hash hash hash"),
+        (3, "x"),
+        (4, ""),
+        (5, "   \t  "),
+        (6, "alpha beta beta gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sql_sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    arw_sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_arrow(docs).collect()}
+    assert sql_sigs == arw_sigs
+    assert 4 not in arw_sigs and 5 not in arw_sigs
+    assert arw_sigs[0] == arw_sigs[6]
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_arrow(corpus).collect()}
+    assert a == b
+
+
 def test_simhash_blocks_cover_all_bits():
     for d in (1, 3, 7, 12):
         blocks = dedup.simhash_blocks(d)

@@ -3,15 +3,17 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode/feature steps run as Arrow-batched ``mapInPandas`` UDFs.
 
-Decode kernels: uncompressed **BMP (24bpp)**, **WAV (16-bit PCM)**, and
-compressed **PNG (8-bit, via stdlib zlib)** are decoded for real
-(``decode_bmp`` / ``decode_wav`` / ``decode_png``; public format specs,
+Decode kernels: uncompressed **BMP (24bpp)**, **WAV (16-bit PCM)**,
+compressed **PNG (8-bit, stdlib zlib)**, and **baseline JPEG (T.81
+sequential DCT, 4:4:4)** are decoded for real (``decode_bmp`` /
+``decode_wav`` / ``decode_png`` / ``decode_jpeg``; public format specs,
 no codec libraries needed), so ``deterministic=False`` exercises a true
 bytes->pixels/samples->features path end-to-end including a real inflate
-+ per-row unfilter.  Remaining compressed formats (JPEG/MP4/...) raise
-NotImplementedError at the same seam — that is where libjpeg/ffmpeg plugs
-in on a real cluster — and ``deterministic=True`` substitutes a seeded
-fake decode for payloads of any format (reproducible tests).
++ unfilter and a real Huffman + dequantize + IDCT.  Video containers
+(MP4/...) raise NotImplementedError at the same seam — that is where
+ffmpeg plugs in on a real cluster — and ``deterministic=True``
+substitutes a seeded fake decode for payloads of any format
+(reproducible tests).
 """
 
 from __future__ import annotations
@@ -247,6 +249,388 @@ def encode_png(rgb: np.ndarray, filters: str = "none") -> bytes:
     )
 
 
+# --- baseline JPEG (ITU-T T.81 public spec; pure python/numpy) -------------
+#
+# Scope: baseline sequential DCT, 8-bit, YCbCr (or grayscale), NO chroma
+# subsampling (4:4:4), no restart intervals, no progressive — the encoder
+# below emits exactly this subset and the decoder reads quantization and
+# Huffman tables FROM the stream (DQT/DHT segments), so any conformant
+# baseline 4:4:4 JPEG decodes, not just our own.  Reference decoder for
+# correctness (python per-block loops); production plugs libjpeg here.
+
+# zigzag scan: anti-diagonals, alternating direction (T.81 figure A.6)
+_ZIGZAG: list[int] = []
+for _s in range(15):
+    _rows = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (_rows if _s % 2 else reversed(list(_rows))):
+        _ZIGZAG.append(_r * 8 + (_s - _r))
+
+# Annex K example tables (used by the ENCODER only; the decoder reads
+# whatever tables the stream carries)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32, dtype=np.int64).reshape(8, 8)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal DCT-II basis: F = M B Mt, B = Mt F M
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): val -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= length
+        val = (self.acc >> self.n) & ((1 << length) - 1)
+        return val
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline JPEG bytes (4:4:4, Annex K
+    tables).  Lossy: roundtrip error is bounded by the quantization
+    tables (smooth images land within a few levels per channel)."""
+    h, w, _ = rgb.shape
+    x = rgb.astype(np.float64)
+    y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2] + 128.0
+    cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2] + 128.0
+    planes = [y, cb, cr]
+    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+    dc_tabs = [_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+               _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+               _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_tabs = [_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+               _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+               _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    # edge-replicate pad to full blocks
+    planes = [
+        np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") for p in planes
+    ]
+    bw_writer = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(3):
+                blk = planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_M @ blk @ _DCT_M.T
+                q = np.round(coef / qts[c]).astype(np.int64)
+                zz = q.flatten()[_ZIGZAG]
+                diff = int(zz[0]) - pred[c]
+                pred[c] = int(zz[0])
+                s = _category(diff)
+                code, length = dc_tabs[c][s]
+                bw_writer.write(code, length)
+                if s:
+                    v = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw_writer.write(v, s)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tabs[c][0xF0]
+                        bw_writer.write(code, length)
+                        run -= 16
+                    s = _category(v)
+                    code, length = ac_tabs[c][(run << 4) | s]
+                    bw_writer.write(code, length)
+                    bw_writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_tabs[c][0x00]  # EOB
+                    bw_writer.write(code, length)
+    entropy = bw_writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in qt.flatten()[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + dqt(0, _QT_LUMA) + dqt(1, _QT_CHROMA)
+        + sof
+        + dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+        + dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        + dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> (H, W, 3) uint8 RGB, pure python/numpy.
+
+    Reads quantization and Huffman tables from the stream (DQT/DHT), so
+    any conformant baseline sequential 4:4:4 (or grayscale) JPEG
+    decodes.  Progressive (SOF2), subsampled chroma, arithmetic coding,
+    and restart intervals raise NotImplementedError at the same seam as
+    the other codecs."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tid, ac_tid)
+    entropy = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("only 8-bit quantization tables")
+                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
+                qt = np.zeros(64, np.int64)
+                qt[_ZIGZAG] = zz
+                qtabs[tid] = qt.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                codes = _huff_codes(bits, vals)
+                htabs[(cls, tid)] = {(ln, c): v for v, (c, ln) in codes.items()}
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            sof = body
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (got SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(body[:2], "big"):
+                raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDA:  # SOS: header then entropy-coded data
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * j], body[2 + 2 * j] >> 4, body[2 + 2 * j] & 0xF)
+                for j in range(ns)
+            ]
+            # strip byte stuffing; stop at the next real marker
+            raw = bytearray()
+            while pos < len(payload) - 1:
+                b = payload[pos]
+                if b == 0xFF:
+                    nxt = payload[pos + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise NotImplementedError("JPEG restart markers not supported")
+                    break
+                raw.append(b)
+                pos += 1
+            entropy = bytes(raw)
+    if sof is None or entropy is None:
+        raise ValueError("missing SOF/SOS segment")
+    if sof[0] != 8:
+        raise NotImplementedError("only 8-bit JPEG samples")
+    h = int.from_bytes(sof[1:3], "big")
+    w = int.from_bytes(sof[3:5], "big")
+    nc = sof[5]
+    if nc not in (1, 3):
+        raise NotImplementedError(f"only 1- or 3-component JPEG (got {nc})")
+    for j in range(nc):
+        cid, samp, qtid = sof[6 + 3 * j : 9 + 3 * j]
+        if samp != 0x11:
+            raise NotImplementedError("only 4:4:4 (no chroma subsampling)")
+        comps.append((cid, samp, qtid))
+    dc_for = {cid: dcid for cid, dcid, _ in scan_comps}
+    ac_for = {cid: acid for cid, _, acid in scan_comps}
+    br = _BitReader(entropy)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in range(nc)]
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for c, (cid, _samp, qtid) in enumerate(comps):
+                dct = htabs[(0, dc_for[cid])]
+                act = htabs[(1, ac_for[cid])]
+                zz = np.zeros(64, np.int64)
+                s = br.read_huff(dct)
+                diff = _extend(br.read(s), s) if s else 0
+                pred[c] += diff
+                zz[0] = pred[c]
+                i = 1
+                while i < 64:
+                    sym = br.read_huff(act)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad JPEG AC symbol")
+                        i += 16  # ZRL
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    zz[i] = _extend(br.read(size), size)
+                    i += 1
+                # de-zigzag: zz[k] belongs at flat position _ZIGZAG[k]
+                q = np.zeros(64, np.int64)
+                q[_ZIGZAG] = zz
+                coef = q.reshape(8, 8) * qtabs[qtid]
+                blk = _DCT_M.T @ coef @ _DCT_M + 128.0
+                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    planes = [p[:h, :w] for p in planes]
+    if nc == 1:
+        g = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """16-bit PCM WAV -> (samples int16 [n, channels], sample_rate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -344,11 +728,13 @@ def real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray
         return _image_features(decode_bmp(payload), dim)
     if mime == "image/png":
         return _image_features(decode_png(payload), dim)
+    if mime == "image/jpeg":
+        return _image_features(decode_jpeg(payload), dim)
     if mime == "audio/wav":
         return _audio_features(*decode_wav(payload), dim=dim)
     raise NotImplementedError(
-        f"no pure-python decoder for {mime!r}; remaining compressed "
-        "formats need codec libraries (libjpeg/ffmpeg) — plug a kernel in here"
+        f"no pure-python decoder for {mime!r}; video containers/codecs "
+        "(mp4/h264/...) need ffmpeg-class libraries — plug a kernel in here"
     )
 
 

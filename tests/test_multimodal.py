@@ -25,8 +25,14 @@ def test_wav_roundtrip_mono_and_stereo():
 
 
 def test_compressed_formats_raise_at_seam():
+    # the seam is narrowed to video now that JPEG decodes for real
     with pytest.raises(NotImplementedError):
-        mm.real_decode(b"\xff\xd8\xff", "image/jpeg")
+        mm.real_decode(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(ValueError):
+        mm.real_decode(b"\xff\xd8\xff", "image/jpeg")  # truncated, loud
+    with pytest.raises(NotImplementedError):
+        # progressive (SOF2) JPEG is explicitly out of the baseline subset
+        mm.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08\x00\xff\xd9")
     with pytest.raises(ValueError):
         mm.decode_bmp(b"not a bmp")
 
@@ -86,6 +92,56 @@ def test_png_roundtrip_all_filters(spark):
     f_bmp = real_decode(encode_bmp(rgb), "image/bmp")
     assert np.allclose(f_png, f_bmp)
     assert np.allclose(f_png, _image_features(rgb))
+
+
+def test_jpeg_roundtrip_baseline():
+    """decode_jpeg inverts encode_jpeg within quantization error (JPEG is
+    lossy by design): flat colors come back within one level, smooth
+    gradients within a few, and odd (non-multiple-of-8) dimensions crop
+    correctly.  The decoder reads DQT/DHT from the stream — the same
+    tables the encoder wrote — so this exercises the real marker parse,
+    Huffman decode, dequantize, and IDCT."""
+    import numpy as np
+
+    flat = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    out = mm.decode_jpeg(mm.encode_jpeg(flat))
+    assert out.shape == flat.shape
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 2
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 255 // (w + h - 2)],
+        axis=2,
+    ).astype(np.uint8)
+    out = mm.decode_jpeg(mm.encode_jpeg(grad))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.max() <= 16 and err.mean() <= 4.0
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)  # crop path
+    out = mm.decode_jpeg(mm.encode_jpeg(noise))
+    assert out.shape == noise.shape  # lossy on noise, but dimensions exact
+
+
+def test_jpeg_real_decode_end_to_end(spark):
+    """image/jpeg now runs the deterministic=False feature path for real
+    (r3 verdict item 6): features from a JPEG roundtrip must approximate
+    the features of the source pixels."""
+    import numpy as np
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), np.full((h, w), 64)], axis=2
+    ).astype(np.uint8)
+    rows = [(0, "image", "image/jpeg", bytearray(mm.encode_jpeg(grad)), w, h, None)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    (r,) = mm.extract_features(media, deterministic=False).collect()
+    f = np.array(r["feature"])
+    assert f[0] == 1.0 and np.isfinite(f).all()
+    ref = mm._image_features(grad)
+    assert np.allclose(f[:9], ref[:9], atol=0.02)  # means/stds survive the codec
 
 
 def test_png_real_decode_end_to_end(spark):

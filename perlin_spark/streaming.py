@@ -112,6 +112,80 @@ def dedup_stream(stream: DataFrame, key_cols: list[str], order_col: str):
     )
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    gap_s: int | None = None,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Streaming twin of ``extras.events.sessionize`` (r3 verdict item 7):
+    gap-based sessions per user with keyed state
+    (``applyInPandasWithState``).  Events merge into the user's OPEN
+    session while within ``gap_s`` of it (across micro-batches); an event
+    beyond the gap CLOSES the open session (emitted) and starts a new
+    one, and a processing-time timeout of ``gap_s`` closes idle sessions
+    when the stream goes quiet.  Emits closed sessions only:
+    (user_id, sess_start_s, sess_end_s, n_events, sum_value_x100).
+
+    State per user is one 4-field tuple (the open session), so the state
+    store scales with ACTIVE users, not history.  Out-of-order arrivals
+    are merged if they land within the gap of the open session; events
+    older than that belong to an already-closed session and start a new
+    (late) one — the standard bounded-state trade-off; widen the gap or
+    buffer upstream for heavier disorder."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .extras.events import SESSION_GAP_S
+
+    gap = SESSION_GAP_S if gap_s is None else gap_s
+    out_cols = ["user_id", "sess_start_s", "sess_end_s", "n_events", "sum_value_x100"]
+
+    def close(uid, cur):
+        start, last, n, sv = cur
+        return (uid, int(start), int(last), int(n), int(math.floor(sv * 100 + 0.5)))
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        closed = []
+        if state.hasTimedOut:
+            closed.append(close(uid, state.get))
+            state.remove()
+        else:
+            rows = [p for p in pdfs if len(p)]
+            if rows:
+                batch = pd.concat(rows, ignore_index=True)
+                secs = (batch[time_col].astype("int64") // 10**9).to_numpy()
+                vals = batch[value_col].to_numpy()
+                cur = tuple(state.get) if state.exists else None
+                for i in np.argsort(secs, kind="stable"):
+                    s, v = int(secs[i]), float(vals[i])
+                    if cur is None:
+                        cur = (s, s, 1, v)
+                    elif s - cur[1] > gap:
+                        closed.append(close(uid, cur))
+                        cur = (s, s, 1, v)
+                    else:
+                        cur = (min(cur[0], s), max(cur[1], s), cur[2] + 1, cur[3] + v)
+                state.update(cur)
+                state.setTimeoutDuration(gap * 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=out_cols)
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        "user_id long, sess_start_s long, sess_end_s long, "
+        "n_events long, sum_value_x100 long",
+        "sess_start long, last_s long, n_events long, sum_value double",
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_doc_stats(
     stream: DataFrame,
     time_col: str = "event_time",

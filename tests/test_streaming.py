@@ -92,6 +92,122 @@ def test_dedup_stream_cross_batch(spark, tmp_path):
     assert rows["s1"] in (10, 20)
 
 
+def test_sessionize_stream_cross_batch(spark, tmp_path):
+    """Streaming gap sessionization (r3 verdict item 7): a session whose
+    events SPAN two micro-batches merges into one session, and an event
+    beyond the gap closes the open session and emits it.  File mtimes
+    are pinned so the file source's batch order is deterministic."""
+    import os
+
+    from perlin_spark.streaming import sessionize_stream
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    base = int(pd.Timestamp("2026-01-01 00:00:00").timestamp())
+
+    def ts(off):
+        return pd.Timestamp("2026-01-01 00:00:00") + pd.Timedelta(seconds=off)
+
+    # batch A: user 100 session opens (0s, 10s); user 200 has a session
+    # closed WITHIN the batch (0s alone, then 7200s, 7210s beyond the gap)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.Series([ts(0), ts(10), ts(0), ts(7200), ts(7210)]).astype(
+                "datetime64[us]"
+            ),
+            "user_id": [100, 100, 200, 200, 200],
+            "value": [1.0, 2.0, 5.0, 7.0, 9.0],
+        }
+    ).to_parquet(src / "a.parquet")
+    # batch B: 20s extends user 100's open session ACROSS the batch
+    # boundary; 10800s is beyond the gap and closes it
+    pd.DataFrame(
+        {
+            "event_id": [6, 7],
+            "ts": pd.Series([ts(20), ts(10800)]).astype("datetime64[us]"),
+            "user_id": [100, 100],
+            "value": [4.0, 8.0],
+        }
+    ).to_parquet(src / "b.parquet")
+    now = os.path.getmtime(src / "a.parquet")
+    os.utime(src / "a.parquet", (now - 100, now - 100))  # a strictly older -> batch 0
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["sess_start_s"]): (
+            r["sess_end_s"], r["n_events"], r["sum_value_x100"]
+        )
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # user 100: one session spanning batches (0..20s, 3 events, 1+2+4)
+    assert got[(100, base)] == (base + 20, 3, 700)
+    # user 200: the within-batch split closed the singleton session
+    assert got[(200, base)] == (base, 1, 500)
+    # open sessions (100@10800s, 200@7200s) are not emitted without timeout
+    assert len(got) == 2
+
+
+def test_sessionize_stream_timeout_flush(spark, tmp_path):
+    """An idle stream flushes open sessions via the processing-time
+    timeout — the session closes with no closing event."""
+    import time as _time
+
+    from perlin_spark.streaming import sessionize_stream
+
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.Series(pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:01"])).astype("datetime64[us]"),
+            "user_id": [7, 7],
+            "value": [1.5, 2.5],
+        }
+    ).to_parquet(src / "a.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_s=2)
+        .writeStream.format("memory")
+        .queryName("sess_timeout_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        rows = []
+        for _ in range(60):  # up to 30 s for the 2 s timeout to fire
+            rows = spark.sql("SELECT * FROM sess_timeout_out").collect()
+            if rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    base = int(pd.Timestamp("2026-01-01 00:00:00").timestamp())
+    assert [(r["user_id"], r["sess_start_s"], r["sess_end_s"], r["n_events"],
+             r["sum_value_x100"]) for r in rows] == [(7, base, base + 1, 2, 400)]
+
+
 def test_windowed_doc_stats(spark, tmp_path):
     from perlin_spark.streaming import windowed_doc_stats
 

@@ -291,9 +291,12 @@ def embedding_near_pairs(
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic coarse centroids: the ``n_centroids`` lowest vec_ids.
-    A seeded sample keeps the whole pipeline (and its oracle) reproducible;
-    on a real corpus you'd k-means these — the assignment/probe/rescore
-    machinery below is unchanged by how centroids are chosen."""
+    A seeded sample keeps the whole pipeline (and its oracle) reproducible,
+    but DEGENERATES when low ids are correlated (ingest order often
+    clusters similar documents) — off the oracle path the recommended
+    default is :func:`build_ann_index`, which refines these with
+    :func:`ivf_kmeans_centroids`; the assignment/probe/rescore machinery
+    below is unchanged by how centroids are chosen."""
     return embeddings.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
@@ -519,8 +522,10 @@ def pq_codebooks(
 ) -> np.ndarray:
     """(m, ks, dim//m) codebooks from the ``ks`` lowest vec_ids'
     unit-normalized sub-vectors — the same deterministic seeding as
-    :func:`ivf_centroids`, so the whole PQ pipeline is oracle-derivable;
-    refine with :func:`pq_kmeans_codebooks` on a real corpus."""
+    :func:`ivf_centroids`, so the whole PQ pipeline is oracle-derivable.
+    Same caveat too: correlated low ids make poor codebooks, so off the
+    oracle path the recommended default is :func:`build_ann_index`
+    (k-means refinement via :func:`pq_kmeans_codebooks`)."""
     rows = sorted(
         (int(r["vec_id"]), list(r["embedding"]))
         for r in embeddings.filter(F.col("vec_id") < ks).collect()
@@ -795,6 +800,46 @@ def write_ivf_pq_cells(
         .parquet(path.rstrip("/") + "/_codebooks")
     )
     return cents, cb
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    ivf_iters: int = 5,
+    pq_iters: int = 5,
+    keep_embeddings: bool = True,
+):
+    """The RECOMMENDED way to build the composed IVF+PQ serving index:
+    k-means-refined centroids (:func:`ivf_kmeans_centroids`) and
+    codebooks (:func:`pq_kmeans_codebooks`) instead of the raw
+    lowest-vec_id seeds, then :func:`write_ivf_pq_cells`.  The seeded
+    variants exist for ORACLE derivability (a SQL engine can reproduce
+    them bit-for-bit); they degenerate when low ids are correlated
+    (e.g. ingest order clusters similar documents), while Lloyd
+    refinement spreads centroids over the actual data distribution —
+    recall-tested against the seeded build in
+    ``tests/test_extras.py::test_build_ann_index_refined_recall``.
+
+    Training is deterministic (seeded init, argmin first-match) and
+    sampled driver-side (classic ANN practice: training is small, the
+    cluster-scale work is encode + scan).  Returns (centroids,
+    codebooks); query with :func:`ivf_pq_topk_from_cells` (cold reopen
+    supported via the persisted side tables)."""
+    cents = ivf_kmeans_centroids(embeddings, n_centroids, iters=ivf_iters)
+    cb = pq_kmeans_codebooks(embeddings, m=m, ks=ks, iters=pq_iters)
+    return write_ivf_pq_cells(
+        embeddings,
+        path,
+        n_centroids=n_centroids,
+        m=m,
+        ks=ks,
+        centroids=cents,
+        codebooks=cb,
+        keep_embeddings=keep_embeddings,
+    )
 
 
 def ivf_pq_topk_from_cells(

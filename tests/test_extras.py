@@ -563,6 +563,50 @@ def test_ivf_pq_cells_cold_reopen_recall(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_build_ann_index_refined_recall(spark, tmp_path):
+    """build_ann_index (k-means-refined centroids+codebooks, the
+    documented default off the oracle path) must match or beat the
+    seeded build's recall on the degenerate case the seeds are bad at:
+    low vec_ids all drawn from ONE cluster, so seeded centroids/codebooks
+    describe a single mode of the data."""
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 32)) * 10.0
+    # vec_ids 0..49 all come from cluster 0 -> degenerate seeds
+    X = np.concatenate([centers[i] + rng.normal(size=(50, 32)) for i in range(8)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [60, 150, 260, 333]  # one per distinct cluster
+
+    def recall(path, build):
+        build()
+        total = 0.0
+        for qid in queries:
+            q = [float(x) for x in X[qid]]
+            brute = {r["vec_id"]
+                     for r in similarity.cosine_topk(emb, q, k=10, exclude_id=qid).collect()}
+            got = {r["vec_id"]
+                   for r in similarity.ivf_pq_topk_from_cells(
+                       spark, path, q, k=10, nprobe=3, rerank=60, exclude_id=qid
+                   ).collect()}
+            total += len(got & brute) / 10
+        return total / len(queries)
+
+    seeded_path = str(tmp_path / "seeded")
+    refined_path = str(tmp_path / "refined")
+    r_seeded = recall(
+        seeded_path,
+        lambda: similarity.write_ivf_pq_cells(emb, seeded_path, n_centroids=8),
+    )
+    r_refined = recall(
+        refined_path,
+        lambda: similarity.build_ann_index(emb, refined_path, n_centroids=8),
+    )
+    assert r_refined >= r_seeded
+    assert r_refined >= 0.8
+
+
 def test_deterministic_sample_and_quality_gate(spark):
     """deterministic_sample must be a pure function of the row key:
     identical membership across partitionings, nested across rates,

@@ -607,6 +607,43 @@ def test_build_ann_index_refined_recall(spark, tmp_path):
     assert r_refined >= 0.8
 
 
+def test_dedup_corpus_job(spark, tmp_path):
+    """The spark-submit-able end-to-end dedup job (jobs/dedup_corpus.py):
+    LSH pairs -> components -> survivors -> surviving-corpus write.  Its
+    survivor set must equal dedup_keep_canonical over exact n-gram pairs
+    (LSH recalls all qualifying pairs on this corpus), and the lineage
+    artifacts must be internally consistent."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup_corpus as job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "deduped")
+    stats = job.run(spark, docs, 0.12, "lsh", None, out)
+
+    want = {
+        r["doc_id"]
+        for r in dedup.dedup_keep_canonical(
+            docs, dedup.ngram_jaccard_pairs(docs, threshold=0.12)
+        ).collect()
+    }
+    corpus = spark.read.parquet(f"{out}/corpus")
+    got = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert got == want
+    assert stats["n_survivors"] == len(want)
+    assert stats["n_docs"] == docs.count()
+    assert stats["n_dropped"] == stats["n_docs"] - stats["n_survivors"]
+    assert stats["n_dropped"] > 0, "fixture has no near-dups; test is vacuous"
+
+    comps = spark.read.parquet(f"{out}/_components").collect()
+    assert sum(r["n_members"] - 1 for r in comps) == stats["n_dropped"]
+    assert all(r["survivor_id"] == r["component"] for r in comps)
+    summ = spark.read.parquet(f"{out}/_summary").collect()[0]
+    assert summ["n_survivors"] == stats["n_survivors"]
+    assert summ["n_components"] == stats["n_survivors"]
+
+
 def test_deterministic_sample_and_quality_gate(spark):
     """deterministic_sample must be a pure function of the row key:
     identical membership across partitionings, nested across rates,

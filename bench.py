@@ -56,7 +56,7 @@ QUERY_REPS = 5
 # until it recovers; every probe value is recorded in the output JSON so a
 # slow artifact is self-explaining.
 PROBE_MB = 128
-HEALTHY_MBPS = float(os.environ.get("SPARK_GRAFT_FAULT_HEALTHY_MBPS", "600"))
+HEALTHY_MBPS = float(os.environ.get("SPARK_GRAFT_FAULT_HEALTHY_MBPS", "900"))
 MAX_AWAIT_S = float(os.environ.get("SPARK_GRAFT_FAULT_MAX_AWAIT", "300"))
 _PROBE_SRC: bytes | None = None
 

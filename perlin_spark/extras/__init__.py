@@ -2,4 +2,4 @@
 
 from . import dedup, events, multimodal, similarity, textstats
 
-__all__ = ["dedup", "events", "similarity", "textstats", "multimodal"]
+__all__ = ["dedup", "events", "multimodal", "similarity", "textstats"]

@@ -479,6 +479,29 @@ HIERARCHY_ROWS: list[tuple[str, str | None]] = [
 HIERARCHY_SEED = "scan"
 
 
+ANN_FILTER_MOD = 7  # pinned metadata predicate for the filtered-ANN oracle
+
+
+def q_ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the composed index: the metadata
+    predicate (here ``vec_id % 7 != 0``) is applied INSIDE the pruned
+    scan, so non-qualifying rows are never ADC-scored and the rerank
+    shortlist is drawn from qualifying rows only — top-k WHERE
+    <predicate>, not post-filtered top-k."""
+    import re
+
+    emb = _embeddings(spark, sf_dir)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = "/tmp/perlin_entry_ivfpq_" + re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if path not in _IVFPQ_WRITTEN:
+        similarity.write_ivf_pq_cells(emb, path, n_centroids=IVF_CENTROIDS)
+        _IVFPQ_WRITTEN.add(path)
+    return similarity.ivf_pq_topk_from_cells(
+        spark, path, qv, k=10, nprobe=IVF_NPROBE, rerank=IVFPQ_RERANK,
+        exclude_id=0, predicate=F.col("vec_id") % ANN_FILTER_MOD != 0,
+    )
+
+
 def q_hierarchy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy-expanded search (r3 verdict item 3): the seed plus all
     taxonomy descendants via the distributed DataFrame BFS
@@ -597,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "ann_pq_topk": q_ann_pq,
         "ann_ivf_pq_topk": q_ann_ivf_pq,
+        "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
         "ft_hierarchy_search": q_hierarchy_search,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "golden_reference_suite": q_golden_reference,
@@ -880,12 +904,15 @@ SELECT vec_id, CAST(floor(s * 10000 + 0.5) AS BIGINT) AS cos_x1e4
 FROM adc ORDER BY s DESC, vec_id LIMIT {k}"""
 
 
-def _ann_ivf_pq_oracle(k: int = 10) -> str:
+def _ann_ivf_pq_oracle(k: int = 10, pred_sql: str = "") -> str:
     """Replicates the composed ivf_pq_topk_from_cells serving path: IVF
     cell assignment + query probes exactly as :func:`_ann_ivf_oracle`,
     PQ codes + ADC lookup over the probed cells exactly as
     :func:`_ann_pq_oracle`, then the top-``IVFPQ_RERANK`` ADC shortlist
-    (ties: vec_id asc) reranked by exact cosine."""
+    (ties: vec_id asc) reranked by exact cosine.  ``pred_sql`` adds the
+    filtered-search predicate to the scan CTE (the same place the Spark
+    path applies it — before ADC, so the shortlist is drawn from
+    qualifying rows only)."""
     from perlin_spark.extras.similarity import PQ_KS, PQ_M
 
     return f"""
@@ -917,7 +944,8 @@ cb AS (
   WHERE en.vec_id < {PQ_KS}),
 scan AS (SELECT en.vec_id, en.nv FROM en
          JOIN cells ON cells.vec_id = en.vec_id
-         WHERE cells.cell IN (SELECT cid FROM probes) AND en.vec_id <> 0),
+         WHERE cells.cell IN (SELECT cid FROM probes) AND en.vec_id <> 0
+         {pred_sql}),
 asg AS (
   SELECT scan.vec_id, cb.m, cb.code,
          row_number() OVER (PARTITION BY scan.vec_id, cb.m
@@ -1283,6 +1311,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_pq_topk": _ann_pq_oracle(),
         "ann_ivf_pq_topk": _ann_ivf_pq_oracle(),
+        "ann_ivf_pq_filtered": _ann_ivf_pq_oracle(
+            pred_sql=f"AND (en.vec_id % {ANN_FILTER_MOD}) <> 0"
+        ),
         "ft_hierarchy_search": _hierarchy_search_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),

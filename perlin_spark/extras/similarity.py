@@ -852,17 +852,28 @@ def ivf_pq_topk_from_cells(
     exclude_id: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: np.ndarray | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Query a :func:`write_ivf_pq_cells` table: partition-pruned scan of
     nprobe cells -> JVM ADC over the codes column -> optional exact
     rerank.  With ``centroids``/``codebooks`` omitted the persisted side
-    tables are loaded (fresh-process reopen)."""
+    tables are loaded (fresh-process reopen).
+
+    ``predicate`` (a Column over the stored table's columns) makes this
+    FILTERED vector search — the serving shape behind "top-k similar
+    WHERE <metadata>": the predicate is applied inside the pruned scan
+    (Catalyst pushes simple comparisons into the parquet reader), so
+    filtered-out rows are never ADC-scored and the shortlist is drawn
+    from qualifying rows only — no post-filtering recall loss at the
+    final k."""
     if centroids is None:
         centroids = read_ivf_centroids(spark, path)
     if codebooks is None:
         codebooks = read_pq_codebooks(spark, path)
     probes = ivf_probe_cells(query_vec, centroids, nprobe)
     table = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if predicate is not None:
+        table = table.filter(predicate)
     return pq_topk_from_codes(
         table, codebooks, query_vec, k=k, rerank=rerank, exclude_id=exclude_id
     )

@@ -255,6 +255,22 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_canonical(docs, pairs).select("doc_id", "component")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-by-slice ingestion dedup: the corpus is split at the median
+    doc_id into an immutable OLD half and a NEW batch; a new doc
+    survives iff its near-dup component contains no old doc and it is
+    the lowest-id new member.  Exercises the union pair graph, the
+    contamination test, and canonical selection in one op."""
+    docs = _docs(spark, sf_dir)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi) + 1) // 2
+    old = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    return dedup.incremental_survivors(
+        old, new, threshold=0.12, use_lsh=False
+    ).select("doc_id")
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -603,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_incremental": q_dedup_incremental,
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_props_stats": q_events_props,
@@ -1212,6 +1229,27 @@ comp AS (SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id)
 SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
 FROM documents d LEFT JOIN comp c USING (doc_id)
 WHERE d.doc_id = coalesce(c.component, d.doc_id)""",
+        "dedup_incremental": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+pairs AS (SELECT doc_a, doc_b FROM jacc WHERE j >= 0.12),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.doc_id),
+comp AS (SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id),
+split AS (SELECT CAST(floor((min(doc_id) + max(doc_id) + 1) / 2) AS BIGINT) AS s
+          FROM documents),
+lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+               d.doc_id < (SELECT s FROM split) AS is_old
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+g AS (SELECT component,
+             max(CASE WHEN is_old THEN 1 ELSE 0 END) AS has_old,
+             min(CASE WHEN NOT is_old THEN doc_id END) AS min_new
+      FROM lab GROUP BY 1)
+SELECT min_new AS doc_id FROM g
+WHERE has_old = 0 AND min_new IS NOT NULL""",
         "dedup_minhash_lsh": _minhash_oracle(0.12),
         "dedup_simhash": f"""
 WITH {_TOK},

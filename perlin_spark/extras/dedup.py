@@ -545,6 +545,53 @@ def dedup_components(
     return labels
 
 
+def incremental_survivors(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    use_lsh: bool = True,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing (already-deduped) corpus —
+    the slice-by-slice ingestion shape of a training pipeline (crawl
+    N+1 against crawls 0..N).  Old documents are immutable history and
+    are never dropped; a new document SURVIVES iff its near-dup
+    component (over the union pair graph, exact dups included via the
+    jaccard-1.0 pre-collapse pairs) contains no old document AND it is
+    the canonical (lowest doc_id) new member of that component.
+
+    Returns the surviving rows of ``new_docs``.  Requires globally
+    unique doc_ids across both frames.
+
+    100-TB shape: the pair stage is the same LSH machinery as
+    :func:`minhash_lsh_pairs` over the union (at scale, persist the old
+    corpus's signatures/bands at rest and band-join only new vs
+    old+new), components are the same O(log diameter) loop, and the
+    survivor decision is one aggregate per component."""
+    union = old_docs.select("doc_id", "text").unionByName(
+        new_docs.select("doc_id", "text")
+    )
+    if use_lsh:
+        pairs = minhash_lsh_pairs(union, threshold=threshold, bucket_cap=bucket_cap)
+    else:
+        pairs = ngram_jaccard_pairs(union, threshold=threshold)
+    comps = dedup_components(pairs, union)
+    old_ids = old_docs.select(F.col("doc_id").alias("old_id"))
+    labeled = comps.join(
+        old_ids, comps["doc_id"] == old_ids["old_id"], "left"
+    ).select("doc_id", "component", F.col("old_id").isNotNull().alias("is_old"))
+    winners = (
+        labeled.groupBy("component")
+        .agg(
+            F.max(F.col("is_old").cast("int")).alias("has_old"),
+            F.min(F.when(~F.col("is_old"), F.col("doc_id"))).alias("min_new"),
+        )
+        .filter((F.col("has_old") == 0) & F.col("min_new").isNotNull())
+        .select(F.col("min_new").alias("doc_id"))
+    )
+    return new_docs.join(winners, "doc_id")
+
+
 def dedup_keep_canonical(
     documents: DataFrame, pairs: DataFrame
 ) -> DataFrame:

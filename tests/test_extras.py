@@ -563,6 +563,30 @@ def test_ivf_pq_cells_cold_reopen_recall(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_filtered_ann_predicate_reaches_scan(spark, tmp_path):
+    """Filtered vector search: the metadata predicate must reach the
+    parquet FileScan as a DataFilter (rows are skipped before ADC, not
+    post-filtered), alongside the nprobe cell partition pruning — and
+    the result must contain only qualifying rows."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "fivfpq")
+    similarity.write_ivf_pq_cells(emb, path, n_centroids=8)
+    q = [float(x) for x in X[3]]
+    df = similarity.ivf_pq_topk_from_cells(
+        spark, path, q, k=10, nprobe=8, rerank=None, exclude_id=3,
+        predicate=F.col("vec_id") % 2 == 0,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "DataFilters" in plan and "% 2" in plan
+    got = [r["vec_id"] for r in df.collect()]
+    assert got and all(v % 2 == 0 for v in got)
+
+
 def test_build_ann_index_refined_recall(spark, tmp_path):
     """build_ann_index (k-means-refined centroids+codebooks, the
     documented default off the oracle path) must match or beat the
@@ -605,6 +629,31 @@ def test_build_ann_index_refined_recall(spark, tmp_path):
     )
     assert r_refined >= r_seeded
     assert r_refined >= 0.8
+
+
+def test_incremental_survivors_lsh_equals_exact(spark):
+    """Slice-by-slice ingestion dedup: the LSH-paired scale path must
+    select the same surviving new docs as exact n-gram pairing, old docs
+    are never dropped, and contamination works both ways (a new doc
+    near-dup of an old doc is rejected even as its component's lowest
+    new id)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    got_lsh = {
+        r["doc_id"]
+        for r in dedup.incremental_survivors(old, new, threshold=0.12).collect()
+    }
+    got_exact = {
+        r["doc_id"]
+        for r in dedup.incremental_survivors(
+            old, new, threshold=0.12, use_lsh=False
+        ).collect()
+    }
+    assert got_lsh == got_exact
+    n_new = new.count()
+    assert 0 < len(got_lsh) < n_new, "no rejection happened; test is vacuous"
+    assert all(d >= 250 for d in got_lsh)  # only new docs are returned
 
 
 def test_dedup_corpus_job(spark, tmp_path):

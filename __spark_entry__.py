@@ -299,6 +299,12 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM pseudo-perplexity per document — the cheap LM
+    quality signal (gate on both tails)."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.langid(_docs(spark, sf_dir))
 
@@ -628,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filter_corpus": q_filter_corpus,
         "text_sample": q_sample,
         "text_langid": q_langid,
+        "text_unigram_logprob": q_unigram_logprob,
         "text_subword_counts": q_subword_counts,
         "text_fingerprint": q_fingerprint,
         "ann_lsh_topk": q_ann_lsh,
@@ -1301,6 +1308,16 @@ WHERE n_tokens >= 20
 SELECT doc_id FROM documents
 WHERE CAST(('0x' || substr(md5('7:' || doc_id), 1, 8)) AS BIGINT)
       < CAST(floor(0.1 * 4294967296) AS BIGINT)""",
+        "text_unigram_logprob": f"""
+WITH {_TOK},
+cnt AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+SELECT t.doc_id,
+       sum(t.tf)::BIGINT AS n_tokens,
+       CAST(floor(sum(t.tf * ln(c.c / (SELECT n FROM tot))) / sum(t.tf)
+                  * 10000 + 0.5) AS BIGINT) AS avg_logprob_x1e4
+FROM tfv t JOIN cnt c USING (term)
+GROUP BY 1""",
         "text_langid": f"""
 WITH t AS (
   SELECT doc_id,

@@ -113,6 +113,44 @@ QUALITY_MIN_UNIQ_X1E4 = 1000     # >= 10% distinct tokens
 QUALITY_MAX_STOP_X1E4 = 7000     # <= 70% stopwords
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob_x1e4) — corpus-unigram-LM
+    pseudo-perplexity: each token scores ``ln(count(term)/total_tokens)``
+    against the corpus's OWN unigram distribution, averaged per document.
+    The standard cheap LM-quality signal of a pretraining pipeline
+    (outlier docs — boilerplate, wrong-language, garbage — sit far from
+    the corpus distribution and score low... or suspiciously high for
+    pure stopword spam; gate on both tails).
+
+    Fully declarative: one explode + two aggregations + one join; the
+    corpus totals ride a broadcast one-row frame, no driver collect.  At
+    100 TB the term-count table is the only wide shuffle and is exactly
+    the vocabulary aggregation the index build already does."""
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    per_doc = (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("c") / F.col("n_total")))
+                / F.sum("tf")
+            ).alias("alp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("alp") * 10000 + F.lit(0.5)).cast("long").alias(
+            "avg_logprob_x1e4"
+        ),
+    )
+
+
 def filter_corpus(
     documents: DataFrame,
     min_tokens: int = QUALITY_MIN_TOKENS,

@@ -241,6 +241,29 @@ def minhash_lsh_pairs(
     return cross.unionByName(within)
 
 
+BAND_KEY = ["band"] + [f"b{r}" for r in range(ROWS_PER_BAND)]
+
+
+def band_table(sig: DataFrame) -> DataFrame:
+    """Long-format LSH band table (band, b0..b{rows-1}, doc_id) from a
+    signature frame — the join key of every LSH candidate step, and the
+    at-rest schema :func:`write_minhash_bands` persists."""
+    bands = []
+    for j in range(BANDS):
+        cols = [f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(j).alias("band"),
+                *[F.col(c).alias(f"b{r}") for r, c in enumerate(cols)],
+            )
+        )
+    out = bands[0]
+    for extra in bands[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 def _minhash_lsh_rep_pairs(
     documents: DataFrame, threshold: float, k: int, bucket_cap: int | None
 ) -> DataFrame:
@@ -253,20 +276,8 @@ def _minhash_lsh_rep_pairs(
     # load-bearing shape.)
     sh = _persist(shingles_df(documents, k))
     sig = minhash_signatures(sh)
-    bands = []
-    for j in range(BANDS):
-        cols = [f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(j).alias("band"),
-                *[F.col(c).alias(f"b{r}") for r, c in enumerate(cols)],
-            )
-        )
-    bucketed = bands[0]
-    for extra in bands[1:]:
-        bucketed = bucketed.unionByName(extra)
-    key = ["band"] + [f"b{r}" for r in range(ROWS_PER_BAND)]
+    bucketed = band_table(sig)
+    key = BAND_KEY
     if bucket_cap is not None:
         # bound the per-bucket self-join against adversarial clusters of
         # near-identical (but not identical) texts; dropped buckets are
@@ -293,17 +304,30 @@ def _minhash_lsh_rep_pairs(
     )
     # verify ONLY the candidate pairs with exact Jaccard — at scale this is
     # the whole point of LSH (the all-pairs join never happens)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return verify_pairs_exact(cands, sh, sh, threshold)
+
+
+def verify_pairs_exact(
+    cands: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs given
+    (doc_id, shingle) frames for each side; returns pairs meeting the
+    threshold as (doc_a, doc_b, jacc_x1e4).  Candidates-only: cost is
+    sized by the candidate set, never all-pairs."""
+    a = sh_a.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_b.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sa = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a")).withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    sb = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_b")).withColumnRenamed(
+        "doc_id", "doc_b"
+    )
     jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     thr = int(threshold * 10000)
     return (
@@ -575,6 +599,15 @@ def incremental_survivors(
         pairs = minhash_lsh_pairs(union, threshold=threshold, bucket_cap=bucket_cap)
     else:
         pairs = ngram_jaccard_pairs(union, threshold=threshold)
+    return _incremental_decision(old_docs, new_docs, pairs, union)
+
+
+def _incremental_decision(
+    old_docs: DataFrame, new_docs: DataFrame, pairs: DataFrame, union: DataFrame
+) -> DataFrame:
+    """Shared survivor decision: components over the pair graph, reject
+    new docs in any component containing an old doc, keep the lowest-id
+    new member of each clean component."""
     comps = dedup_components(pairs, union)
     old_ids = old_docs.select(F.col("doc_id").alias("old_id"))
     labeled = comps.join(
@@ -590,6 +623,62 @@ def incremental_survivors(
         .select(F.col("min_new").alias("doc_id"))
     )
     return new_docs.join(winners, "doc_id")
+
+
+def write_minhash_bands(documents: DataFrame, path: str, k: int = SHINGLE_K) -> None:
+    """Materialize the corpus's LSH band table at rest — (band, b0..b3,
+    doc_id), partitioned by band.  Written ONCE at corpus-publish time;
+    :func:`incremental_survivors_from_bands` then dedups every future
+    ingest slice against it without ever recomputing corpus signatures
+    (the corpus-sized map pass happens once per corpus, not once per
+    slice — the shape that matters when the corpus is 100 TB and the
+    slice is 100 GB)."""
+    sig = minhash_signatures(shingles_df(documents, k))
+    band_table(sig).write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def incremental_survivors_from_bands(
+    spark,
+    bands_path: str,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """:func:`incremental_survivors` with the old corpus's LSH bands read
+    from the at-rest table (:func:`write_minhash_bands`) instead of
+    recomputed.  Per-slice cost: the NEW slice's shingles+signatures, a
+    band equi-join against the persisted table, exact-Jaccard
+    verification of candidates only (old-side shingles are recomputed
+    for CANDIDATE docs only, via a semi-join on the text table), and the
+    component decision.  Same result as the direct path — old-old edges
+    cannot change any new doc's outcome (a component with any old doc
+    rejects its new members regardless of how far it extends), pinned by
+    ``tests/test_extras.py::test_incremental_from_bands_equals_direct``."""
+    old_bands = spark.read.parquet(bands_path).select("doc_id", *BAND_KEY)
+    new_sh = _persist(shingles_df(new_docs, k))
+    new_bands = band_table(minhash_signatures(new_sh))
+    all_bands = old_bands.unionByName(new_bands)
+    old_ids = old_docs.select(F.col("doc_id").alias("old_id"))
+    cands = (
+        new_bands.select(*BAND_KEY, F.col("doc_id").alias("doc_a"))
+        .join(all_bands.select(*BAND_KEY, F.col("doc_id").alias("doc_b")), BAND_KEY)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        # drop the mirrored orientation of new-new candidates (both
+        # directions collide); new-old keeps doc_a = the new doc
+        .join(old_ids, F.col("doc_b") == F.col("old_id"), "left")
+        .filter(F.col("old_id").isNotNull() | (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+    )
+    union = old_docs.select("doc_id", "text").unionByName(
+        new_docs.select("doc_id", "text")
+    )
+    cand_others = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    other_sh = shingles_df(union.join(cand_others, "doc_id"), k)
+    pairs = verify_pairs_exact(cands, new_sh, other_sh, threshold)
+    return _incremental_decision(old_docs, new_docs, pairs, union)
 
 
 def dedup_keep_canonical(

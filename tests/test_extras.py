@@ -656,6 +656,31 @@ def test_incremental_survivors_lsh_equals_exact(spark):
     assert all(d >= 250 for d in got_lsh)  # only new docs are returned
 
 
+def test_incremental_from_bands_equals_direct(spark, tmp_path):
+    """The at-rest incremental path (corpus LSH bands persisted once,
+    slice band-joined against them, candidates-only exact verify) must
+    produce the same surviving new docs as the direct recompute path."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    bands_path = str(tmp_path / "corpus_bands")
+    dedup.write_minhash_bands(old, bands_path)
+    got = {
+        r["doc_id"]
+        for r in dedup.incremental_survivors_from_bands(
+            spark, bands_path, old, new, threshold=0.12
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in dedup.incremental_survivors(
+            old, new, threshold=0.12, use_lsh=False
+        ).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < new.count()
+
+
 def test_dedup_corpus_job(spark, tmp_path):
     """The spark-submit-able end-to-end dedup job (jobs/dedup_corpus.py):
     LSH pairs -> components -> survivors -> surviving-corpus write.  Its

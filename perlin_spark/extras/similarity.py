@@ -751,6 +751,32 @@ def pq_kmeans_codebooks(
 
 # --- IVF + PQ composition: the billion-scale serving shape -----------------
 
+def write_centroids_table(spark, path: str, cents: list[tuple[int, list[float]]]) -> None:
+    """Persist the ``_centroids`` side table (underscore dir: invisible
+    to partition discovery) beside a cell layout."""
+    (
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+            "centroid_id long, centroid array<double>",
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/_centroids")
+    )
+
+
+def write_codebooks_table(spark, path: str, cb: np.ndarray) -> None:
+    """Persist the ``_codebooks`` side table beside a codes layout."""
+    mm, kk, _ = cb.shape
+    (
+        spark.createDataFrame(
+            [(i, j, [float(x) for x in cb[i, j]]) for i in range(mm) for j in range(kk)],
+            "m int, code int, centroid array<double>",
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/_codebooks")
+    )
+
+
 def write_ivf_pq_cells(
     embeddings: DataFrame,
     path: str,
@@ -782,23 +808,8 @@ def write_ivf_pq_cells(
         .parquet(path)
     )
     spark = embeddings.sparkSession
-    (
-        spark.createDataFrame(
-            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
-            "centroid_id long, centroid array<double>",
-        )
-        .coalesce(1).write.mode("overwrite")
-        .parquet(path.rstrip("/") + "/_centroids")
-    )
-    mm, kk, _ = cb.shape
-    (
-        spark.createDataFrame(
-            [(i, j, [float(x) for x in cb[i, j]]) for i in range(mm) for j in range(kk)],
-            "m int, code int, centroid array<double>",
-        )
-        .coalesce(1).write.mode("overwrite")
-        .parquet(path.rstrip("/") + "/_codebooks")
-    )
+    write_centroids_table(spark, path, cents)
+    write_codebooks_table(spark, path, cb)
     return cents, cb
 
 

@@ -186,6 +186,90 @@ def sessionize_stream(
     )
 
 
+def vector_sink(
+    path: str,
+    n_centroids: int = 16,
+    m: int | None = None,
+    ks: int | None = None,
+    refine_iters: int = 5,
+    keep_embeddings: bool = True,
+):
+    """foreachBatch sink: continuous embedding ingest into the composed
+    IVF+PQ cell layout (the vector twin of :func:`epoch_sink`).
+
+    The FIRST non-empty micro-batch trains the index (k-means-refined
+    centroids + codebooks on a renumbered view of the batch — training
+    is batch-sized and driver-sampled, classic ANN practice) and writes
+    the ``_centroids``/``_codebooks`` side tables; every batch is then
+    assigned + PQ-encoded with those FROZEN artifacts and written to its
+    own ``batch=<id>/cell=<c>/`` partition directory.  Queries via
+    :func:`perlin_spark.extras.similarity.ivf_pq_topk_from_cells` see
+    all committed batches (``batch`` is just another partition column;
+    cell pruning still reaches the scan).
+
+    Replay-safe: each batch directory is written once and recognized by
+    its ``_SUCCESS`` marker — a replayed micro-batch is skipped, never
+    double-appended.  Restarting the stream in a NEW process reloads the
+    frozen side tables instead of retraining.
+
+    Wire up::
+
+        q = (vectors.writeStream
+             .foreachBatch(vector_sink("/idx/vectors"))
+             .option("checkpointLocation", "/idx/vectors/_ckpt")
+             .start())
+    """
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from .extras import similarity as S
+
+    m = S.PQ_M if m is None else m
+    ks = S.PQ_KS if ks is None else ks
+    state: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bdir = os.path.join(path, f"batch={batch_id}")
+        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            return  # replayed micro-batch: already committed
+        spark = batch_df.sparkSession
+        if "cents" not in state:
+            if os.path.exists(os.path.join(path, "_centroids")):
+                state["cents"] = S.read_ivf_centroids(spark, path)
+                state["cb"] = S.read_pq_codebooks(spark, path)
+            else:
+                # the k-means seeds expect vec_ids 0..k-1; train on a
+                # renumbered view so ANY id range trains (ids are only
+                # seeds — training uses the vectors)
+                w = Window.orderBy("vec_id")
+                train = batch_df.select(
+                    (F.row_number().over(w) - 1).alias("vec_id"), "embedding"
+                )
+                state["cents"] = S.ivf_kmeans_centroids(
+                    train, n_centroids, iters=refine_iters
+                )
+                state["cb"] = S.pq_kmeans_codebooks(
+                    train, m=m, ks=ks, iters=refine_iters
+                )
+                S.write_centroids_table(spark, path, state["cents"])
+                S.write_codebooks_table(spark, path, state["cb"])
+        cols = ["vec_id", "codes"] + (["embedding"] if keep_embeddings else [])
+        (
+            batch_df
+            .withColumn("cell", S.ivf_cell_udf(state["cents"])(F.col("embedding")))
+            .withColumn("codes", S.pq_encode_udf(state["cb"])(F.col("embedding")))
+            .select(*cols, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(bdir)
+        )
+
+    return sink
+
+
 def windowed_doc_stats(
     stream: DataFrame,
     time_col: str = "event_time",

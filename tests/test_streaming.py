@@ -208,6 +208,73 @@ def test_sessionize_stream_timeout_flush(spark, tmp_path):
              r["sum_value_x100"]) for r in rows] == [(7, base, base + 1, 2, 400)]
 
 
+def test_vector_sink_stream_ingest(spark, tmp_path):
+    """Continuous embedding ingest: the first micro-batch trains + writes
+    the frozen side tables, later batches encode with them; a query over
+    the composed layout sees vectors from ALL batches, and a replayed
+    batch id is skipped (no double-append)."""
+    import numpy as np
+
+    from perlin_spark.extras import similarity as S
+    from perlin_spark.streaming import vector_sink
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(6, 24)) * 9.0
+    X = np.concatenate([centers[i] + rng.normal(size=(40, 24)) for i in range(6)])
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    # interleaved split (evens then odds): realistic ingest slices carry a
+    # cross-section of the distribution, so first-batch training is
+    # representative — a cluster-ordered split would train on a fraction
+    # of the modes (the frozen-artifact trade-off the docstring states)
+    for name, ids in [("a", range(0, len(X), 2)), ("b", range(1, len(X), 2))]:
+        ids = list(ids)
+        pd.DataFrame(
+            {"vec_id": ids, "embedding": [list(map(float, X[i])) for i in ids]}
+        ).to_parquet(src / f"{name}.parquet")
+
+    idx = str(tmp_path / "vidx")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(vector_sink(idx, n_centroids=6))
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    table = spark.read.parquet(idx)
+    assert table.count() == len(X)  # every vector from every batch landed
+
+    qid = 201  # an odd id: delivered by the second file's micro-batch
+    qv = [float(x) for x in X[qid]]
+    brute = {r["vec_id"] for r in S.cosine_topk(
+        spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+            "vec_id long, embedding array<double>",
+        ), qv, k=10, exclude_id=qid).collect()}
+    got = [r["vec_id"] for r in S.ivf_pq_topk_from_cells(
+        spark, idx, qv, k=10, nprobe=3, rerank=60, exclude_id=qid
+    ).collect()]
+    assert len(set(got) & brute) / 10 >= 0.8
+    # the result draws from both halves of the id space (both batches)
+    all_ids = {r["vec_id"] for r in table.select("vec_id").collect()}
+    assert all_ids == set(range(len(X)))
+
+    # replay safety: re-delivering a committed batch id is a no-op
+    sink = vector_sink(idx, n_centroids=6)
+    replay = spark.createDataFrame(
+        [(999, [0.0] * 24)], "vec_id long, embedding array<double>"
+    )
+    sink(replay, 0)  # batch 0 already committed -> skipped
+    assert spark.read.parquet(idx).count() == len(X)
+
+
 def test_windowed_doc_stats(spark, tmp_path):
     from perlin_spark.streaming import windowed_doc_stats
 

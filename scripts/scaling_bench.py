@@ -247,7 +247,17 @@ def write_bench_md(r: dict, rounds: int) -> None:
         f"{p['speedup']:.2f}x, scaling efficiency {p['scaling_efficiency']:.2f}**"
         for p in r["pairs"]
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve manually-appended sections (operator deltas, per-round
+    # bench runs) across regeneration: everything from the first
+    # "## Round-" heading onward is carried forward verbatim
+    manual = ""
+    bench_path = os.path.join(REPO, "BENCH.md")
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        idx = prev.find("\n## Round-")
+        if idx != -1:
+            manual = prev[idx:]
+    with open(bench_path, "w") as f:
         f.write(f"""# BENCH — measured performance & scaling evidence
 
 Generated by `scripts/scaling_bench.py` on a 32-CPU sandbox (no real
@@ -319,6 +329,7 @@ new serialization point.
   (~0.1-0.5 s); it does not scale with cores and at cluster scale is
   addressed by caching + locality, not by this gate.
 """)
+        f.write(manual)
     print("wrote BENCH.md")
 
 

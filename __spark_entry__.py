@@ -536,9 +536,9 @@ def q_hierarchy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = _engine(spark, sf_dir)
     hdf = spark.createDataFrame(HIERARCHY_ROWS, HIERARCHY_SCHEMA)
-    expanded = sorted(
-        r["term"] for r in Hierarchy.expand_terms(hdf, [HIERARCHY_SEED]).collect()
-    )
+    exp = Hierarchy.expand_terms(hdf, [HIERARCHY_SEED])
+    expanded = sorted(r["term"] for r in exp.collect())
+    exp.unpersist()  # expand_terms returns its result persisted
     pl = QueryPipeline(text_spec=DOC_SPEC, text_combinator="any")
     return _score_x1e4(eng.search(" ".join(expanded), k=10, pipeline=pl))
 

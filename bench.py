@@ -335,6 +335,12 @@ def main() -> None:
             },
             "pairs": s.get("pairs"),
         }
+        # host-state context + which evidence stands for each pair
+        # (see BENCH.md / BASELINE.md): present when a run was taken on a
+        # degraded host and a prior recorded run remains authoritative
+        for extra in ("retry_16c", "standing"):
+            if s.get(extra) is not None:
+                out["scaling"][extra] = s[extra]
     print(json.dumps(out))
     spark.stop()
 

@@ -49,6 +49,11 @@ def run(spark, docs, threshold: float, pairs_mode: str, bucket_cap, output: str)
         pairs = dedup.minhash_lsh_pairs(docs, threshold=threshold, bucket_cap=bucket_cap)
     else:
         pairs = dedup.ngram_jaccard_pairs(docs, threshold=threshold)
+    # materialize the pair pipeline ONCE: the summary count and the
+    # component loop both consume it, and recomputing the LSH verify
+    # joins would double the job's most expensive stage
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
     comps = dedup.dedup_components(pairs, docs)
     survivors = comps.filter(F.col("doc_id") == F.col("component"))
     surviving_corpus = docs.join(survivors.select("doc_id", "component"), "doc_id")
@@ -63,7 +68,6 @@ def run(spark, docs, threshold: float, pairs_mode: str, bucket_cap, output: str)
     lineage.write.mode("overwrite").parquet(f"{output}/_components")
 
     n_docs = docs.count()
-    n_pairs = pairs.count()
     n_survivors = spark.read.parquet(f"{output}/corpus").count()
     n_components = n_survivors  # exactly one survivor per component
     summary = spark.createDataFrame(
@@ -71,6 +75,7 @@ def run(spark, docs, threshold: float, pairs_mode: str, bucket_cap, output: str)
         "n_docs long, n_pairs long, n_components long, n_survivors long, n_dropped long",
     )
     summary.coalesce(1).write.mode("overwrite").parquet(f"{output}/_summary")
+    pairs.unpersist()
     dedup.release_cache()  # drop the tracked shingle/membership frames
     return {
         "n_docs": n_docs,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # --- pinned MinHash parameters (must match the SQL oracle) ---------------
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -644,6 +644,7 @@ def incremental_survivors_from_bands(
     new_docs: DataFrame,
     threshold: float = 0.5,
     k: int = SHINGLE_K,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """:func:`incremental_survivors` with the old corpus's LSH bands read
     from the at-rest table (:func:`write_minhash_bands`) instead of
@@ -654,11 +655,47 @@ def incremental_survivors_from_bands(
     component decision.  Same result as the direct path — old-old edges
     cannot change any new doc's outcome (a component with any old doc
     rejects its new members regardless of how far it extends), pinned by
-    ``tests/test_extras.py::test_incremental_from_bands_equals_direct``."""
+    ``tests/test_extras.py::test_incremental_from_bands_equals_direct``.
+
+    Same scale hardening as :func:`minhash_lsh_pairs`: the new slice is
+    EXACT-DUP PRE-COLLAPSED before banding (a boilerplate slice with a
+    million identical docs costs one signature, not a 10^12-row band
+    bucket — non-representative exact dups can never survive anyway, so
+    only representatives need the decision), and ``bucket_cap`` bounds
+    the band join against adversarial near-identical clusters (logged,
+    recall loss on capped buckets)."""
+    # exact-dup pre-collapse of the NEW slice: keep the lowest doc_id per
+    # distinct text.  A non-rep dup's fate is forced (its component
+    # contains its rep, and it can never be the lowest new member), so
+    # the decision over representatives IS the decision over the slice.
+    sha = F.sha2(F.col("text"), 256)
+    reps = (
+        new_docs.withColumn("_sha", sha)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_sha").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_sha", "_rn")
+    )
     old_bands = spark.read.parquet(bands_path).select("doc_id", *BAND_KEY)
-    new_sh = _persist(shingles_df(new_docs, k))
+    new_sh = _persist(shingles_df(reps, k))
     new_bands = band_table(minhash_signatures(new_sh))
     all_bands = old_bands.unionByName(new_bands)
+    if bucket_cap is not None:
+        import logging
+
+        sizes = all_bands.groupBy(*BAND_KEY).agg(F.count(F.lit(1)).alias("_bsz"))
+        dropped = sizes.filter(F.col("_bsz") > bucket_cap).count()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "incremental_survivors_from_bands: dropping %d band buckets "
+                "over cap=%d (recall loss on mega near-dup clusters)",
+                dropped, bucket_cap,
+            )
+        keep = sizes.filter(F.col("_bsz") <= bucket_cap).select(*BAND_KEY)
+        all_bands = all_bands.join(keep, BAND_KEY)
+        new_bands = new_bands.join(keep, BAND_KEY)
     old_ids = old_docs.select(F.col("doc_id").alias("old_id"))
     cands = (
         new_bands.select(*BAND_KEY, F.col("doc_id").alias("doc_a"))
@@ -673,12 +710,12 @@ def incremental_survivors_from_bands(
         .select("doc_a", "doc_b")
     )
     union = old_docs.select("doc_id", "text").unionByName(
-        new_docs.select("doc_id", "text")
+        reps.select("doc_id", "text")
     )
     cand_others = cands.select(F.col("doc_b").alias("doc_id")).distinct()
     other_sh = shingles_df(union.join(cand_others, "doc_id"), k)
     pairs = verify_pairs_exact(cands, new_sh, other_sh, threshold)
-    return _incremental_decision(old_docs, new_docs, pairs, union)
+    return _incremental_decision(old_docs, reps, pairs, union)
 
 
 def dedup_keep_canonical(

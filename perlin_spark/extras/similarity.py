@@ -420,16 +420,7 @@ def write_ivf_cells(
         .partitionBy("cell")
         .parquet(path)
     )
-    spark = embeddings.sparkSession
-    (
-        spark.createDataFrame(
-            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
-            "centroid_id long, centroid array<double>",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path.rstrip("/") + "/_centroids")
-    )
+    write_centroids_table(embeddings.sparkSession, path, cents)
     return cents
 
 
@@ -691,19 +682,7 @@ def write_pq_codes(
         .write.mode("overwrite")
         .parquet(path)
     )
-    spark = embeddings.sparkSession
-    mm, kk, dsub = cb.shape
-    rows = [
-        (i, j, [float(x) for x in cb[i, j]])
-        for i in range(mm)
-        for j in range(kk)
-    ]
-    (
-        spark.createDataFrame(rows, "m int, code int, centroid array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path.rstrip("/") + "/_codebooks")
-    )
+    write_codebooks_table(embeddings.sparkSession, path, cb)
     return cb
 
 

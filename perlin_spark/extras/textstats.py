@@ -122,14 +122,17 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     the corpus distribution and score low... or suspiciously high for
     pure stopword spam; gate on both tails).
 
-    Fully declarative: one explode + two aggregations + one join; the
-    corpus totals ride a broadcast one-row frame, no driver collect.  At
-    100 TB the term-count table is the only wide shuffle and is exactly
-    the vocabulary aggregation the index build already does."""
+    Fully declarative, ONE corpus pass: corpus term counts and the
+    token total are derived from the per-doc tf aggregate (``sum(tf)``),
+    so the tokenize+explode subtree appears once behind a reused
+    exchange instead of re-running per aggregation; the totals ride a
+    broadcast one-row frame, no driver collect.  At 100 TB the tf table
+    is the only wide shuffle and is exactly the vocabulary aggregation
+    the index build already does."""
     toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"))
     per_doc = (
         tf.join(cnt, "term")
         .crossJoin(F.broadcast(tot))

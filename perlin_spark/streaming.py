@@ -140,10 +140,17 @@ def sessionize_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from .extras.events import SESSION_GAP_S
+    from .extras.events import SESSION_GAP_S, _epoch_s
 
     gap = SESSION_GAP_S if gap_s is None else gap_s
     out_cols = ["user_id", "sess_start_s", "sess_end_s", "n_events", "sum_value_x100"]
+    # epoch seconds are derived JVM-side and TIMEZONE-INVARIANTLY before
+    # the stateful op (extras.events._epoch_s): the Arrow conversion into
+    # the UDF renders timestamps in the SESSION timezone as naive
+    # datetimes, so int64-ing them in pandas would silently make session
+    # boundaries timezone-dependent — the exact defect the batch
+    # sessionize fixed this round
+    stream = stream.withColumn("_sec", _epoch_s(stream, time_col))
 
     def close(uid, cur):
         start, last, n, sv = cur
@@ -159,7 +166,7 @@ def sessionize_stream(
             rows = [p for p in pdfs if len(p)]
             if rows:
                 batch = pd.concat(rows, ignore_index=True)
-                secs = (batch[time_col].astype("int64") // 10**9).to_numpy()
+                secs = batch["_sec"].to_numpy()
                 vals = batch[value_col].to_numpy()
                 cur = tuple(state.get) if state.exists else None
                 for i in np.argsort(secs, kind="stable"):
@@ -219,8 +226,6 @@ def vector_sink(
              .option("checkpointLocation", "/idx/vectors/_ckpt")
              .start())
     """
-    import os
-
     from pyspark.sql import Window, functions as F
 
     from .extras import similarity as S
@@ -229,15 +234,25 @@ def vector_sink(
     ks = S.PQ_KS if ks is None else ks
     state: dict = {}
 
+    def _fs_exists(spark, p: str) -> bool:
+        # Hadoop FileSystem, not os.path: the index root is typically
+        # s3a://... or hdfs://... in production — a driver-local check
+        # would always be False there, re-training on restart and
+        # silently mixing codebooks across batches
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        bdir = os.path.join(path, f"batch={batch_id}")
-        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
-            return  # replayed micro-batch: already committed
         spark = batch_df.sparkSession
+        bdir = path.rstrip("/") + f"/batch={batch_id}"
+        if _fs_exists(spark, bdir + "/_SUCCESS"):
+            return  # replayed micro-batch: already committed
         if "cents" not in state:
-            if os.path.exists(os.path.join(path, "_centroids")):
+            if _fs_exists(spark, path.rstrip("/") + "/_centroids"):
                 state["cents"] = S.read_ivf_centroids(spark, path)
                 state["cb"] = S.read_pq_codebooks(spark, path)
             else:

@@ -681,6 +681,42 @@ def test_incremental_from_bands_equals_direct(spark, tmp_path):
     assert 0 < len(got) < new.count()
 
 
+def test_incremental_from_bands_exact_dup_collapse(spark, tmp_path):
+    """The at-rest path pre-collapses exact dups in the new slice (the
+    r1 adversarial case: identical boilerplate must cost one signature,
+    not a quadratic band bucket) and rejects cross-slice exact dups:
+    identical signatures guarantee the band collision, so the outcome is
+    deterministic."""
+    rows_old = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six"),
+    ]
+    boiler = "seven eight nine ten eleven twelve"
+    rows_new = [
+        (10, boiler), (11, boiler), (12, boiler),        # intra-slice dups
+        (13, "alpha beta gamma delta epsilon zeta"),     # exact dup of old 0
+        (14, "completely different words entirely unique tokens"),
+    ]
+    old = spark.createDataFrame(rows_old, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    bands_path = str(tmp_path / "bands")
+    dedup.write_minhash_bands(old, bands_path)
+    got = {
+        r["doc_id"]
+        for r in dedup.incremental_survivors_from_bands(
+            spark, bands_path, old, new, threshold=0.5
+        ).collect()
+    }
+    assert got == {10, 14}
+    want = {
+        r["doc_id"]
+        for r in dedup.incremental_survivors(
+            old, new, threshold=0.5, use_lsh=False
+        ).collect()
+    }
+    assert got == want
+
+
 def test_dedup_corpus_job(spark, tmp_path):
     """The spark-submit-able end-to-end dedup job (jobs/dedup_corpus.py):
     LSH pairs -> components -> survivors -> surviving-corpus write.  Its

@@ -322,6 +322,10 @@ def main() -> None:
         "host_fault_probe_mbps": probe_log,
         "build_samples": samples_log,
         "await_budget_spent_s": round(await_spent, 1),
+        # True when the adaptive wait budget ran out while the probe was
+        # still below HEALTHY_MBPS — the run proceeded on a host that
+        # never recovered, so slow sections are host state, not plan
+        "await_cap_hit": await_spent >= MAX_AWAIT_S,
     }
     # attach the latest N-vs-4N scaling evidence (scripts/scaling_bench.py)
     sr = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_result.json")

@@ -754,6 +754,35 @@ def test_dedup_corpus_job(spark, tmp_path):
     assert summ["n_components"] == stats["n_survivors"]
 
 
+def test_ann_index_job(spark, tmp_path, capsys):
+    """The spark-submit ANN lifecycle job: build (k-means default) then
+    cold query, including the filtered variant."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import ann_index as job
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(150, 16))
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    idx = str(tmp_path / "annidx")
+    assert job.main(["build", "--input", src, "--output", idx,
+                     "--n-centroids", "8"]) == 0
+    assert job.main(["query", "--input", src, "--output", idx,
+                     "--query-vec-id", "7", "--k", "5", "--nprobe", "8"]) == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(out) == 5 and all(int(l.split("\t")[0]) != 7 for l in out)
+    assert job.main(["query", "--input", src, "--output", idx,
+                     "--query-vec-id", "7", "--k", "5", "--nprobe", "8",
+                     "--filter", "vec_id % 2 = 0"]) == 0
+    out2 = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert out2 and all(int(l.split("\t")[0]) % 2 == 0 for l in out2)
+
+
 def test_deterministic_sample_and_quality_gate(spark):
     """deterministic_sample must be a pure function of the row key:
     identical membership across partitionings, nested across rates,

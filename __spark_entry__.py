@@ -25,7 +25,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from perlin_spark import FieldSpec, Must, MustNot, PerlinEngine, QueryPipeline
 from perlin_spark import codec
-from perlin_spark.extras import dedup, events, similarity, textstats
+from perlin_spark.extras import dedup, events, fusion, similarity, textstats
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -315,6 +315,70 @@ def q_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (top-2-gram mass,
+    duplicate-5-gram mass)."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+DECON_QUERY_K = 4   # module default is 8; the tiny synthetic corpus needs
+                    # 4-grams for the gate to actually fire (65 hits at sf0.01)
+DECON_TRAIN_RATE = 0.9  # train = seed-7 band < 0.9, eval = the complement
+
+
+def _train_eval(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _docs(spark, sf_dir)
+    train = textstats.deterministic_sample(docs, DECON_TRAIN_RATE, seed=7)
+    ev = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+    return train, ev
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram leakage detection: training docs sharing a
+    4-gram with the held-out split, with distinct-gram hit counts."""
+    train, ev = _train_eval(spark, sf_dir)
+    return textstats.contamination_hits(train, ev, k=DECON_QUERY_K)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination gate: training docs surviving the anti-join."""
+    train, ev = _train_eval(spark, sf_dir)
+    return textstats.decontaminate(train, ev, k=DECON_QUERY_K).select("doc_id")
+
+
+PACK_SEQ_LEN = 256  # pinned small so sf0.01 docs actually straddle sequences
+PACK_BUCKET = 64    # ~8 buckets at sf0.01 — exercises the two-phase prefix sum
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing offsets via the distributed
+    two-phase prefix sum (no global single-task window)."""
+    return textstats.pack_sequences(
+        _docs(spark, sf_dir), seq_len=PACK_SEQ_LEN, bucket=PACK_BUCKET
+    )
+
+
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIXTURE_DEFAULT = 0.1
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source keep rates over the same
+    keyed md5 band as text_sample."""
+    return textstats.mixture_sample(
+        _docs(spark, sf_dir), MIXTURE_RATES, default_rate=MIXTURE_DEFAULT, seed=3
+    ).select("doc_id", "source")
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-10 (OR query) fused with
+    embedding-cosine top-10 by reciprocal-rank fusion.  Convention: the
+    embeddings table's vec_id IS the documents table's doc_id."""
+    bm25 = q_bm25_or(spark, sf_dir)
+    ann = q_ann_cosine(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    return fusion.rrf_fuse({"bm25": bm25, "ann": ann}, id_col="doc_id", topk=10)
 
 
 ANN_LSH_PLANES = 6  # pinned for the driver oracle (64 buckets at sf0.01)
@@ -637,6 +701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_unigram_logprob,
         "text_subword_counts": q_subword_counts,
         "text_fingerprint": q_fingerprint,
+        "text_repetition": q_repetition,
+        "text_contamination": q_contamination,
+        "text_decontaminate": q_decontaminate,
+        "text_pack_sequences": q_pack_sequences,
+        "text_mixture_sample": q_mixture_sample,
+        "search_hybrid_rrf": q_hybrid_rrf,
         "ann_lsh_topk": q_ann_lsh,
         "dedup_simhash_near": q_simhash_near,
         "dedup_embedding_exact": q_emb_pairs_exact,
@@ -1269,13 +1339,7 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id""",
-        "ann_cosine_topk": """
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-c AS (SELECT vec_id,
-             list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS cos
-      FROM embeddings WHERE vec_id <> 0)
-SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
-FROM c ORDER BY cos DESC, vec_id LIMIT 10""",
+        "ann_cosine_topk": _ANN_COSINE_SQL,
         "text_quality": f"""
 WITH t AS (
   SELECT doc_id, text,
@@ -1346,6 +1410,15 @@ sh AS (
 SELECT doc_id,
        list_min(list_transform(shs, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS fingerprint
 FROM sh""",
+        "text_repetition": _REPETITION_SQL,
+        "text_contamination": f"WITH {_DECON_CTES}\nSELECT doc_id, n_hit_ngrams FROM hits",
+        "text_decontaminate": f"""WITH {_DECON_CTES}
+SELECT b.doc_id FROM band b
+WHERE b.h < CAST(floor({DECON_TRAIN_RATE} * 4294967296) AS BIGINT)
+  AND NOT EXISTS (SELECT 1 FROM hits x WHERE x.doc_id = b.doc_id)""",
+        "text_pack_sequences": _PACK_SQL,
+        "text_mixture_sample": _mixture_oracle(),
+        "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "dedup_simhash_near": f"""
 WITH {_TOK},
@@ -1382,6 +1455,127 @@ FROM crouted GROUP BY 1, 2""",
         "ft_code_bm25_topk": _bm25_code_oracle(["hash", "join"]),
         "ft_code_must_number": _bm25_code_oracle(["merge"], must_number="42"),
     }
+
+
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id,
+             list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS cos
+      FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM c ORDER BY cos DESC, vec_id LIMIT 10"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    """RRF fusion of the BM25-OR oracle and the cosine oracle — MUST
+    mirror extras.fusion.rrf_fuse: ranks by (score DESC, id ASC), runs
+    folded in sorted-name order ('ann' then 'bm25'), 1/(60+rank) doubles."""
+    bm = _bm25_oracle(["dup", "stream", "vector"], conj=False)
+    return f"""
+WITH rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_x1e4 DESC, doc_id) AS r
+  FROM ({bm}) bm),
+ra AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_x1e4 DESC, vec_id) AS r
+  FROM ({_ANN_COSINE_SQL}) an),
+f AS (
+  SELECT coalesce(rb.doc_id, ra.doc_id) AS doc_id,
+         coalesce((1::DOUBLE) / ({fusion.RRF_K} + ra.r), 0)
+         + coalesce((1::DOUBLE) / ({fusion.RRF_K} + rb.r), 0) AS rrf
+  FROM rb FULL OUTER JOIN ra ON rb.doc_id = ra.doc_id)
+SELECT doc_id, CAST(floor(rrf * 1000000 + 0.5) AS BIGINT) AS rrf_x1e6
+FROM f ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10"""
+
+
+#: k-gram CTE shared by the contamination oracles — MUST match
+#: textstats._decon_grams at k=DECON_QUERY_K and the seed-7 train band
+_DECON_CTES = f"""t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+band AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('7:' || doc_id), 1, 8)) AS BIGINT) AS h
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM t, unnest(
+    CASE WHEN len(toks) >= {DECON_QUERY_K}
+         THEN list_transform(generate_series(1, len(toks) - {DECON_QUERY_K - 1}),
+                             i -> array_to_string(toks[i:i+{DECON_QUERY_K - 1}], ' '))
+         ELSE [array_to_string(toks, ' ')] END) AS u(g)),
+ev AS (SELECT DISTINCT g FROM grams JOIN band USING (doc_id)
+       WHERE h >= CAST(floor({DECON_TRAIN_RATE} * 4294967296) AS BIGINT)),
+tr AS (SELECT doc_id, g FROM grams JOIN band USING (doc_id)
+       WHERE h < CAST(floor({DECON_TRAIN_RATE} * 4294967296) AS BIGINT)),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_hit_ngrams
+         FROM tr JOIN ev USING (g) GROUP BY 1)"""
+
+
+#: MUST mirror textstats.repetition_stats: top-2-gram mass fraction and
+#: duplicate-5-gram mass fraction, 0 rows kept for gram-less docs
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, {textstats.REP_TOP_N} AS n,
+         unnest(list_transform(generate_series(1, len(toks) - {textstats.REP_TOP_N - 1}),
+                               i -> array_to_string(toks[i:i+{textstats.REP_TOP_N - 1}], ' '))) AS g
+  FROM t WHERE len(toks) >= {textstats.REP_TOP_N}
+  UNION ALL
+  SELECT doc_id, {textstats.REP_DUP_N} AS n,
+         unnest(list_transform(generate_series(1, len(toks) - {textstats.REP_DUP_N - 1}),
+                               i -> array_to_string(toks[i:i+{textstats.REP_DUP_N - 1}], ' '))) AS g
+  FROM t WHERE len(toks) >= {textstats.REP_DUP_N}),
+cnt AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+per AS (
+  SELECT doc_id,
+         sum(CASE WHEN n = {textstats.REP_TOP_N} THEN c END) AS tot2,
+         max(CASE WHEN n = {textstats.REP_TOP_N} THEN c END) AS max2,
+         sum(CASE WHEN n = {textstats.REP_DUP_N} THEN c END) AS tot5,
+         sum(CASE WHEN n = {textstats.REP_DUP_N} AND c > 1 THEN c END) AS dup5
+  FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(tot2, 0)::BIGINT AS n_2grams,
+       CASE WHEN coalesce(tot2, 0) > 0
+            THEN CAST(floor(coalesce(max2, 0) / tot2 * 10000 + 0.5) AS BIGINT)
+            ELSE 0 END AS top_2gram_x1e4,
+       coalesce(tot5, 0)::BIGINT AS n_5grams,
+       CASE WHEN coalesce(tot5, 0) > 0
+            THEN CAST(floor(coalesce(dup5, 0) / tot5 * 10000 + 0.5) AS BIGINT)
+            ELSE 0 END AS dup_5gram_x1e4
+FROM documents d LEFT JOIN per USING (doc_id)"""
+
+
+#: MUST mirror textstats.pack_sequences at the query's pinned
+#: seq_len/bucket — the bucketed two-phase prefix sum equals this naive
+#: doc_id-ordered cumulative sum because bucket = doc_id // BUCKET is
+#: monotone in doc_id
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS tok_start
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(floor(tok_start / {PACK_SEQ_LEN}) AS BIGINT) AS seq_first,
+       CAST(floor((tok_start + n_tokens - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS seq_last
+FROM p"""
+
+
+def _mixture_oracle() -> str:
+    """Per-source keep-band CASE replicating textstats.mixture_sample:
+    seed 3, int-truncated 32-bit bands, same keyed-md5 hash as text_sample."""
+    band = str(int(MIXTURE_DEFAULT * (1 << 32)))
+    for g in sorted(MIXTURE_RATES):
+        band = (
+            f"CASE WHEN source = '{g}' THEN "
+            f"{int(MIXTURE_RATES[g] * (1 << 32))} ELSE {band} END"
+        )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5('3:' || doc_id), 1, 8)) AS BIGINT) < ({band})"""
 
 
 def _langid_case_sql() -> str:

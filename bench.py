@@ -39,7 +39,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from perlin_spark import FieldSpec, Must, PerlinEngine, QueryPipeline
 from perlin_spark.analysis import code_specs
-from perlin_spark.extras import dedup, similarity
+from perlin_spark.extras import dedup, similarity, textstats
 from perlin_spark.fixtures import synth_code_corpus
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -302,6 +302,30 @@ def main() -> None:
         ).count()
         times["dedup_components"] = min(
             times["dedup_components"], time.perf_counter() - t0
+        )
+
+    # r4 late additions: the two non-trivial new text ops — the double
+    # n-gram explode (repetition) and the broadcast gram anti-join
+    # (decontamination); the rest of the batch (mixture/pack/RRF) are
+    # scan predicates or k-row joins, not worth a timed section
+    textstats.repetition_stats(docs).count()  # warm
+    times["text_repetition"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        textstats.repetition_stats(docs).count()
+        times["text_repetition"] = min(
+            times["text_repetition"], time.perf_counter() - t0
+        )
+
+    train = textstats.deterministic_sample(docs, 0.9, seed=7)
+    ev = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+    textstats.decontaminate(train, ev).count()  # warm
+    times["text_decontaminate"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        textstats.decontaminate(train, ev).count()
+        times["text_decontaminate"] = min(
+            times["text_decontaminate"], time.perf_counter() - t0
         )
 
     total = time.perf_counter() - t_total0 - sleep_total

@@ -1,5 +1,5 @@
 """Training-data pipeline operators: dedup, similarity, text stats, multimodal."""
 
-from . import dedup, events, multimodal, similarity, textstats
+from . import dedup, events, fusion, multimodal, similarity, textstats
 
-__all__ = ["dedup", "events", "multimodal", "similarity", "textstats"]
+__all__ = ["dedup", "events", "fusion", "multimodal", "similarity", "textstats"]

@@ -8,7 +8,7 @@ operator contract — the SQL oracles replicate them literally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
@@ -173,6 +173,220 @@ def filter_corpus(
         & (F.col("uniq_ratio_x1e4") >= min_uniq_x1e4)
         & (F.col("stop_ratio_x1e4") <= max_stop_x1e4)
     )
+
+
+#: repetition-signal n-gram sizes (Gopher-style quality heuristics) —
+#: part of the operator contract, replicated literally in the SQL oracle
+REP_TOP_N = 2        # "top-2-gram fraction"
+REP_DUP_N = 5        # "duplicate-5-gram fraction"
+
+
+def _grams(toks, n: int):
+    """Positional n-gram strings of a token array (empty when < n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_2grams, top_2gram_x1e4, n_5grams, dup_5gram_x1e4) —
+    within-document repetition signals: the fraction of 2-gram mass held
+    by the single most frequent 2-gram, and the fraction of 5-gram
+    occurrences that are repeats (count > 1).  The standard
+    repetitious-text quality gates of a pretraining pipeline (boilerplate,
+    keyword stuffing, template spam score high on both).
+
+    One explode + one (doc_id, n, gram) aggregation + one per-doc
+    aggregation — two shuffles keyed by doc, linear in token count, no
+    per-doc quadratic array work, so the plan is the same at 100 TB.
+    Docs too short to have any n-gram keep their row with 0 fractions."""
+    toks = _tokens()
+    tagged = F.concat(
+        F.transform(_grams(toks, REP_TOP_N),
+                    lambda g: F.struct(F.lit(REP_TOP_N).alias("n"), g.alias("g"))),
+        F.transform(_grams(toks, REP_DUP_N),
+                    lambda g: F.struct(F.lit(REP_DUP_N).alias("n"), g.alias("g"))),
+    )
+    ex = documents.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    )
+    cnt = ex.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == REP_TOP_N, F.col("c"))).alias("tot2"),
+        F.max(F.when(F.col("n") == REP_TOP_N, F.col("c"))).alias("max2"),
+        F.sum(F.when(F.col("n") == REP_DUP_N, F.col("c"))).alias("tot5"),
+        F.sum(
+            F.when((F.col("n") == REP_DUP_N) & (F.col("c") > 1), F.col("c"))
+        ).alias("dup5"),
+    )
+
+    def _x1e4(num, den):
+        return (
+            F.when(den > 0, F.floor(num / den * 10000 + F.lit(0.5)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    stats = per.select(
+        "doc_id",
+        F.coalesce("tot2", F.lit(0)).cast("long").alias("n_2grams"),
+        _x1e4(F.coalesce("max2", F.lit(0)), F.coalesce("tot2", F.lit(0))).alias(
+            "top_2gram_x1e4"
+        ),
+        F.coalesce("tot5", F.lit(0)).cast("long").alias("n_5grams"),
+        _x1e4(F.coalesce("dup5", F.lit(0)), F.coalesce("tot5", F.lit(0))).alias(
+            "dup_5gram_x1e4"
+        ),
+    )
+    return (
+        documents.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("n_2grams", "top_2gram_x1e4", "n_5grams", "dup_5gram_x1e4")
+            ],
+        )
+    )
+
+
+#: decontamination n-gram size.  Public pipelines use 8–13-token grams
+#: against benchmark eval sets; the module default follows suit, and the
+#: tiny synthetic corpora pin a smaller k so the gate actually fires.
+DECON_K = 8
+
+
+def _decon_grams(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, g) — distinct k-token grams per doc (whole doc when < k),
+    the contamination matching unit."""
+    toks = _tokens()
+    g = F.when(
+        F.size(toks) >= k, _grams(toks, k)
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return documents.select("doc_id", F.explode(F.array_distinct(g)).alias("g"))
+
+
+def contamination_hits(
+    train: DataFrame, eval_docs: DataFrame, k: int = DECON_K
+) -> DataFrame:
+    """(doc_id, n_hit_ngrams) — training docs sharing at least one
+    k-token gram with the eval/benchmark set (train/test leakage), with
+    the count of DISTINCT contaminated grams.
+
+    The eval side is a benchmark suite — thousands of docs against a
+    100 TB corpus — so its distinct-gram set rides a broadcast and the
+    scan stays shuffle-free on the train side; only the per-doc count
+    aggregation shuffles, keyed by doc_id.  For an unusually large eval
+    set, drop the ``F.broadcast`` hint and the same plan becomes a
+    shuffle hash join."""
+    ev = _decon_grams(eval_docs, k).select("g").distinct()
+    return (
+        _decon_grams(train, k)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, k: int = DECON_K
+) -> DataFrame:
+    """The decontamination GATE: training docs with NO k-gram overlap
+    with the eval set (left-anti join against :func:`contamination_hits`)."""
+    return train.join(contamination_hits(train, eval_docs, k), "doc_id", "left_anti")
+
+
+#: sequence packing defaults — part of the operator contract
+PACK_SEQ_LEN = 2048
+PACK_BUCKET = 4096   # docs per prefix-sum bucket
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    bucket: int = PACK_BUCKET,
+) -> DataFrame:
+    """(doc_id, n_tokens, tok_start, seq_first, seq_last) — assign every
+    document its token offset in the doc_id-ordered concatenated token
+    stream and the fixed-length training sequences it lands in (the
+    standard concat-and-chunk packing of a pretraining data loader).
+
+    A naive ``Window.orderBy(doc_id)`` prefix sum is ONE task at any
+    scale.  This uses the two-phase distributed prefix sum instead:
+    per-bucket token totals (a tiny aggregate, one row per ~``bucket``
+    docs) get a cumulative offset on the single-partition side — at
+    100 TB that frame is |corpus|/4096 rows, trivially one task — and
+    the offset rides a broadcast back onto a window partitioned BY
+    bucket, so the wide data only ever sees bucket-local windows.
+
+    Zero-token documents are excluded (they occupy no span; they also
+    contribute nothing to any offset)."""
+    t = (
+        documents.select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+            F.floor(F.col("doc_id") / F.lit(bucket)).cast("long").alias("b"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    per_bucket = t.groupBy("b").agg(F.sum("n_tokens").alias("btot"))
+    wb = Window.orderBy("b")  # one row per bucket: tiny by construction
+    offsets = per_bucket.select(
+        "b", (F.sum("btot").over(wb) - F.col("btot")).alias("boff")
+    )
+    w = Window.partitionBy("b").orderBy("doc_id")
+    packed = (
+        t.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("boff") + F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+                "tok_start"
+            ),
+        )
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.floor(F.col("tok_start") / seq_len).cast("long").alias("seq_first"),
+        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / seq_len)
+        .cast("long")
+        .alias("seq_last"),
+    )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    default_rate: float = 0.0,
+    seed: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture resampling: keep each doc with a PER-GROUP rate
+    (e.g. upweight books, downweight web) using the same keyed-md5 band
+    as :func:`deterministic_sample` — reproducible across engines,
+    partitionings, and retries, and consistent with any band already
+    drawn with the same seed (a doc kept at rate r stays kept at r' > r).
+
+    Pure column predicate over the scan: no shuffle, no UDF, pushes into
+    the parquet read at any scale."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))), 1, 8),
+        16, 10,
+    ).cast("long")
+    band = F.lit(int(default_rate * (1 << 32)))
+    for g in sorted(rates):  # deterministic order
+        band = F.when(
+            F.col(group_col) == g, F.lit(int(rates[g] * (1 << 32)))
+        ).otherwise(band)
+    return documents.filter(h < band)
 
 
 def deterministic_sample(

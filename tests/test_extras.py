@@ -897,3 +897,180 @@ def test_sessionize_gap_boundary(spark):
     # user 7: events 0,1 in session 0 (exactly 1800s apart); event 2 opens
     # session 1; user 8 is its own session
     assert got == {(7, 0): (2, 1800), (7, 1): (1, 0), (8, 0): (1, 0)}
+
+
+# ---------------------------------------------------------------- r4 late:
+# hybrid RRF fusion + pretraining-pipeline textstats (repetition,
+# decontamination, sequence packing, mixture sampling)
+
+
+def test_rrf_fuse_math_and_missing_docs(spark):
+    """RRF score is exactly sum(1/(60+rank)) over the runs a doc appears
+    in; missing docs contribute 0 for that run; ties break by doc_id."""
+    from perlin_spark.extras import fusion
+
+    bm25 = spark.createDataFrame(
+        [(10, 900), (20, 800), (30, 700)], "doc_id long, score_x1e4 long"
+    )
+    ann = spark.createDataFrame(
+        [(20, 95), (40, 90), (10, 85)], "doc_id long, cos_x1e4 long"
+    )
+    got = {
+        r["doc_id"]: r["rrf_x1e6"]
+        for r in fusion.rrf_fuse({"bm25": bm25, "ann": ann}, topk=10).collect()
+    }
+
+    def x1e6(*ranks):
+        import math
+        return math.floor(sum(1.0 / (60 + r) for r in ranks) * 1e6 + 0.5)
+
+    # bm25 ranks: 10->1 20->2 30->3; ann ranks: 20->1 40->2 10->3
+    assert got == {
+        10: x1e6(1, 3),
+        20: x1e6(2, 1),
+        30: x1e6(3),
+        40: x1e6(2),
+    }
+    # doc in both runs always beats a doc in one run at comparable ranks
+    assert got[20] > got[30] and got[10] > got[40]
+
+
+def test_rrf_fuse_tie_break_and_topk(spark):
+    """Identical scores rank by doc_id asc (the repo-wide tie-break), and
+    topk truncates after the deterministic (rrf desc, doc_id asc) sort."""
+    from perlin_spark.extras import fusion
+
+    run_a = spark.createDataFrame(
+        [(3, 50), (1, 50), (2, 50)], "doc_id long, s long"
+    )
+    run_b = spark.createDataFrame(
+        [(2, 9), (3, 9), (1, 9)], "doc_id long, s long"
+    )
+    rows = fusion.rrf_fuse({"a": run_a, "b": run_b}, topk=2).collect()
+    # all-tied scores => both runs rank 1,2,3 by doc_id => doc 1 wins
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["rrf_x1e6"] > rows[1]["rrf_x1e6"]
+
+
+def test_repetition_stats_known_docs(spark):
+    """Hand-checked repetition fractions, including the no-gram and
+    empty-text rows that must survive with zeros."""
+    from perlin_spark.extras import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a a a"),          # 5x "a a" 2-grams, 2x dup 5-grams
+            (1, "a b c d e f"),          # all unique
+            (2, "x"),                    # too short for any gram
+            (3, ""),                     # tokenless
+            (4, "go go stop go go stop"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_2grams"], r["top_2gram_x1e4"], r["n_5grams"], r["dup_5gram_x1e4"]
+        )
+        for r in textstats.repetition_stats(docs).collect()
+    }
+    assert got[0] == (5, 10000, 2, 10000)
+    assert got[1] == (5, 2000, 2, 0)
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (0, 0, 0, 0)
+    # doc 4 2-grams: go-go x2, go-stop x2, stop-go x1 => top 2/5 = 4000
+    assert got[4] == (5, 4000, 2, 0)
+
+
+def test_contamination_and_decontaminate(spark):
+    """A train doc sharing any k-gram with the eval set is flagged with
+    its DISTINCT hit-gram count; decontaminate is the exact anti-join.
+    Docs shorter than k match as whole documents."""
+    from perlin_spark.extras import textstats
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training text here"),
+            (3, "tiny doc"),
+            (4, "quick brown fox appears twice quick brown fox appears"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "a quick brown fox story"), (101, "tiny doc")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in textstats.contamination_hits(train, eval_docs, k=3).collect()
+    }
+    # doc 1 shares "quick brown fox"; doc 4 shares it too (distinct => 1);
+    # doc 3 is shorter than k and equals eval doc 101 whole-doc
+    assert hits == {1: 1, 4: 1, 3: 1}
+    kept = sorted(
+        r["doc_id"]
+        for r in textstats.decontaminate(train, eval_docs, k=3).collect()
+    )
+    assert kept == [2]
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark):
+    """The bucketed two-phase prefix sum must equal the naive
+    doc_id-ordered cumulative sum, across bucket boundaries, with
+    non-contiguous ids and zero-token docs excluded."""
+    import random
+
+    from perlin_spark.extras import textstats
+
+    rng = random.Random(7)
+    rows = []
+    for doc_id in sorted(rng.sample(range(1000), 40)):
+        n = rng.choice([0, 1, 3, 7, 12])
+        rows.append((doc_id, " ".join(f"t{i}" for i in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_start"], r["seq_first"], r["seq_last"])
+        for r in textstats.pack_sequences(docs, seq_len=8, bucket=4).collect()
+    }
+    off = 0
+    want = {}
+    for doc_id, text in rows:
+        n = len(text.split())
+        if n == 0:
+            continue
+        want[doc_id] = (n, off, off // 8, (off + n - 1) // 8)
+        off += n
+    assert got == want
+    # the fixture must actually straddle sequences and buckets
+    assert any(v[2] != v[3] for v in want.values())
+    assert len({d // 4 for d in want}) > 3
+
+
+def test_mixture_sample_bands_and_consistency(spark):
+    """Per-group keep rates honor the band: rate-1.0 groups keep all,
+    rate-0 groups keep none, and the kept set at a lower rate is a
+    subset of the kept set at a higher rate (same seed) — the property
+    that makes re-mixing cheap on an already-sampled corpus."""
+    from perlin_spark.extras import textstats
+
+    rows = [(i, f"text {i}", ["books", "web", "junk"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def kept(rates, default=0.0):
+        return {
+            r["doc_id"]
+            for r in textstats.mixture_sample(
+                docs, rates, default_rate=default, seed=3
+            ).collect()
+        }
+
+    all_books = {i for i, _, s in rows if s == "books"}
+    k = kept({"books": 1.0, "web": 0.5, "junk": 0.0})
+    assert k & all_books == all_books
+    assert not any(i % 3 == 2 for i in k)
+    web_lo = kept({"web": 0.25}) ; web_hi = kept({"web": 0.5})
+    assert web_lo <= web_hi
+    assert 0 < len(web_lo) < len(web_hi) < 100
+    # default_rate applies to unlisted groups
+    assert kept({}, default=1.0) == {i for i, _, _ in rows}

@@ -607,6 +607,30 @@ def q_hierarchy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(eng.search(" ".join(expanded), k=10, pipeline=pl))
 
 
+PREFIX_QUERY = "s"       # expands to 6 vocabulary terms at sf0.01
+FUZZY_QUERY = "gro"      # -> {row, group} at max_edits=2 (the multi-term
+FUZZY_EDITS = 2          #    spelling-correction case)
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search: vocabulary expansion (df desc, term asc, capped)
+    -> one Any-combinator BM25 query."""
+    return _score_x1e4(
+        _engine(spark, sf_dir).search_prefix(PREFIX_QUERY, k=10, field="text")
+    )
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy search: length-banded Levenshtein vocabulary expansion
+    (dist asc, df desc, term asc, capped) -> one Any-combinator BM25
+    query."""
+    return _score_x1e4(
+        _engine(spark, sf_dir).search_fuzzy(
+            FUZZY_QUERY, k=10, field="text", max_edits=FUZZY_EDITS
+        )
+    )
+
+
 def _engine_dl_fallback(spark: SparkSession, sf_dir: str) -> PerlinEngine:
     """Same documents index as :func:`_engine`, but with the doc-length
     broadcast cap forced to 0 on THIS instance, so every search takes the
@@ -716,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_topk": q_ann_ivf_pq,
         "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
         "ft_hierarchy_search": q_hierarchy_search,
+        "ft_prefix_search": q_prefix_search,
+        "ft_fuzzy_search": q_fuzzy_search,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "golden_reference_suite": q_golden_reference,
         "ft_code_ident_bm25": q_code_ident_bm25,
@@ -1099,6 +1125,60 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _expansion_bm25_body(exp_select: str, k: int = 10) -> str:
+    """The `_bm25_oracle` Any body with qt sourced from an expansion
+    subquery instead of literal terms (the `_hierarchy_search_oracle`
+    shape, shared by the prefix/fuzzy oracles).  ``exp_select`` must
+    yield a single ``term`` column; `voc` (term, df over the whole
+    tokenized corpus) is in scope for it."""
+    return f"""
+WITH {_TOK},
+voc AS (SELECT term, count(*)::BIGINT AS df FROM tfv GROUP BY 1),
+qt AS ({exp_select}),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt USING (term) GROUP BY 1),
+cand AS (SELECT doc_id FROM tfv JOIN qt USING (term) GROUP BY doc_id),
+sc AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _prefix_search_oracle(k: int = 10) -> str:
+    """Twin of q_prefix_search: same df-desc/term-asc capped expansion
+    over the recomputed vocabulary, then disjunctive BM25."""
+    from perlin_spark.engine import PerlinEngine
+
+    cap = PerlinEngine.EXPAND_MAX_TERMS
+    exp = (
+        f"SELECT term FROM (SELECT term FROM voc WHERE term LIKE '{PREFIX_QUERY}%' "
+        f"ORDER BY df DESC, term LIMIT {cap})"
+    )
+    return _expansion_bm25_body(exp, k)
+
+
+def _fuzzy_search_oracle(k: int = 10) -> str:
+    """Twin of q_fuzzy_search: length-banded levenshtein expansion
+    (dist asc, df desc, term asc, capped), then disjunctive BM25."""
+    from perlin_spark.engine import PerlinEngine
+
+    cap = PerlinEngine.EXPAND_MAX_TERMS
+    lo, hi = len(FUZZY_QUERY) - FUZZY_EDITS, len(FUZZY_QUERY) + FUZZY_EDITS
+    exp = (
+        f"SELECT term FROM (SELECT term FROM voc "
+        f"WHERE length(term) BETWEEN {lo} AND {hi} "
+        f"AND levenshtein(term, '{FUZZY_QUERY}') <= {FUZZY_EDITS} "
+        f"ORDER BY levenshtein(term, '{FUZZY_QUERY}'), df DESC, term LIMIT {cap})"
+    )
+    return _expansion_bm25_body(exp, k)
+
+
 def _emb_pairs_oracle(
     threshold: float, lsh: bool, dim: int = 64, probe_hamming: int = 1
 ) -> str:
@@ -1443,6 +1523,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
             pred_sql=f"AND (en.vec_id % {ANN_FILTER_MOD}) <> 0"
         ),
         "ft_hierarchy_search": _hierarchy_search_oracle(),
+        "ft_prefix_search": _prefix_search_oracle(),
+        "ft_fuzzy_search": _fuzzy_search_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
         "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),

@@ -105,3 +105,100 @@ class PerlinEngine:
 
     def frequent_terms(self, field: str, k: int | None = None) -> DataFrame:
         return self.index.frequent_terms(field, k)
+
+    # --- term-expansion search (prefix / fuzzy) --------------------------
+    #
+    # Beyond the reference surface: classic fulltext-index features built
+    # on the vocabulary table the index already maintains.  Expansion is a
+    # predicate scan of the (small, per-field-distinct-terms) vocabulary,
+    # capped at `max_terms` highest-df terms — so the collect is k rows by
+    # construction — and the expanded set runs as ONE Any-combinator BM25
+    # query (same single-stage job as every other search).
+
+    #: expansion cap — part of the operator contract, replicated in oracles
+    EXPAND_MAX_TERMS = 32
+
+    def expand_prefix(
+        self, field: str, prefix: str, max_terms: int = EXPAND_MAX_TERMS
+    ) -> list[str]:
+        """Highest-df vocabulary terms starting with ``prefix`` (df desc,
+        term asc — the repo-wide deterministic tie-break).  `startswith`
+        compiles to a `StartsWith` predicate that reaches the vocabulary
+        scan; no shuffle, driver receives <= max_terms rows."""
+        rows = (
+            self.index.vocabulary.filter(
+                (F.col("field") == field) & F.col("term").startswith(prefix)
+            )
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_fuzzy(
+        self,
+        field: str,
+        term: str,
+        max_edits: int = 1,
+        max_terms: int = EXPAND_MAX_TERMS,
+    ) -> list[str]:
+        """Vocabulary terms within ``max_edits`` Levenshtein edits of
+        ``term`` (distance asc, df desc, term asc).  A length-band
+        predicate prunes the scan before the JVM `levenshtein` runs, so
+        the O(|vocab|) distance work only touches the band; at very large
+        vocabularies the next step is a deletion-neighborhood (SymSpell)
+        side table, which this expansion would consult instead — the
+        search side is unchanged either way."""
+        tl = len(term)
+        dist = F.levenshtein(F.col("term"), F.lit(term))
+        rows = (
+            self.index.vocabulary.filter(
+                (F.col("field") == field)
+                & (F.length("term") >= tl - max_edits)
+                & (F.length("term") <= tl + max_edits)
+            )
+            .select("term", "df", dist.alias("dist"))
+            .filter(F.col("dist") <= max_edits)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def _search_expanded(self, field: str, terms: list[str], k: int | None):
+        """One Any-combinator BM25 query over literal index terms — the
+        QuerySpec is built directly (the terms are already normalized
+        vocabulary entries; re-analyzing could re-stem a stem)."""
+        groups = ((field, "any", tuple(terms)),) if terms else ()
+        return self.search(QuerySpec(groups=groups, filters=()), k=k)
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int | None = 10,
+        field: str | None = None,
+        max_terms: int = EXPAND_MAX_TERMS,
+    ) -> DataFrame:
+        """Prefix search: ``pre*`` -> expand against the vocabulary ->
+        one disjunctive BM25 query.  Empty expansion returns an empty
+        (doc_id, score) frame, never raises."""
+        field = field or self.pipeline.text_spec.field
+        return self._search_expanded(
+            field, self.expand_prefix(field, prefix, max_terms), k
+        )
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int | None = 10,
+        field: str | None = None,
+        max_edits: int = 1,
+        max_terms: int = EXPAND_MAX_TERMS,
+    ) -> DataFrame:
+        """Fuzzy search: all vocabulary terms within ``max_edits`` of the
+        query term, scored as one disjunctive BM25 query."""
+        field = field or self.pipeline.text_spec.field
+        return self._search_expanded(
+            field, self.expand_fuzzy(field, term, max_edits, max_terms), k
+        )

@@ -245,3 +245,53 @@ def test_search_plan_properties(spark, tmp_path):
     query_stage = plan2.split("InMemoryRelation", 1)[0]
     assert "Exchange" not in query_stage
     assert "TakeOrderedAndProject" in query_stage
+
+
+def test_prefix_and_fuzzy_search(spark):
+    """Term-expansion search: prefix/fuzzy expand against the vocabulary
+    (df desc / dist asc orders, caps, length band) and score as ONE
+    Any-combinator query identical to an explicit QuerySpec search."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "merge sort merge"),
+            (1, "merged branches fast"),
+            (2, "merchant ledger sort"),
+            (3, "sorting is not a term here"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+
+    # prefix expansion: df desc, term asc (all df=1 here, so pure term
+    # order: 'merchant' < 'merge' < 'merged'); cap respected
+    assert eng.expand_prefix("text", "mer") == ["merchant", "merge", "merged"]
+    assert eng.expand_prefix("text", "mer", max_terms=2) == ["merchant", "merge"]
+    assert eng.expand_prefix("text", "zzz") == []
+
+    # fuzzy expansion: length band + levenshtein; dist asc first
+    assert eng.expand_fuzzy("text", "merge", max_edits=1) == ["merge", "merged"]
+    # 2 edits reaches nothing new except via the wider band
+    assert eng.expand_fuzzy("text", "sost", max_edits=1) == ["sort"]
+    assert eng.expand_fuzzy("text", "qqq") == []
+
+    # scored search equals the explicit Any QuerySpec over the same terms
+    got = {
+        r["doc_id"]: r["score"]
+        for r in eng.search_prefix("mer", k=10).collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in eng.search(
+            QuerySpec(groups=(("text", "any", ("merchant", "merge", "merged")),)),
+            k=10,
+        ).collect()
+    }
+    assert got == want and set(got) == {0, 1, 2}
+
+    # empty expansions return empty frames with the search schema
+    empty = eng.search_prefix("zzz", k=10)
+    assert empty.columns == ["doc_id", "score"] and empty.count() == 0
+    assert eng.search_fuzzy("qqq", k=10).count() == 0

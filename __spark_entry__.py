@@ -631,6 +631,23 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_QUERY = "merge sort"   # 32 adjacency hits at sf0.01 (probed)
+FACET_QUERY = "scan"          # df 398 at sf0.01 — a wide match set
+FACET_BY = "source"
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search: conjunctive index candidates, adjacency verified on
+    candidates only via the build-time Arrow analyzer, conj-BM25 ranks."""
+    return _score_x1e4(_engine(spark, sf_dir).search_phrase(PHRASE_QUERY, k=10))
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-engine faceting: matching-doc counts per source over the
+    full match set of one term query."""
+    return _engine(spark, sf_dir).facet_counts(FACET_QUERY, by=FACET_BY)
+
+
 def _engine_dl_fallback(spark: SparkSession, sf_dir: str) -> PerlinEngine:
     """Same documents index as :func:`_engine`, but with the doc-length
     broadcast cap forced to 0 on THIS instance, so every search takes the
@@ -742,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hierarchy_search": q_hierarchy_search,
         "ft_prefix_search": q_prefix_search,
         "ft_fuzzy_search": q_fuzzy_search,
+        "ft_phrase_search": q_phrase_search,
+        "ft_facet_counts": q_facet_counts,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "golden_reference_suite": q_golden_reference,
         "ft_code_ident_bm25": q_code_ident_bm25,
@@ -1179,6 +1198,47 @@ def _fuzzy_search_oracle(k: int = 10) -> str:
     return _expansion_bm25_body(exp, k)
 
 
+def _phrase_search_oracle(k: int = 10) -> str:
+    """Twin of q_phrase_search: adjacency on the space-joined analyzed
+    token stream (space-delimited substring == consecutive tokens), then
+    the conjunctive-BM25 body restricted to verified docs (the verified
+    set is a subset of the AND candidates by construction)."""
+    terms = PHRASE_QUERY.lower().split()
+    tlist = ", ".join(f"'{t}'" for t in dict.fromkeys(terms))
+    needle = " " + " ".join(terms) + " "
+    return f"""
+WITH {_TOK},
+ver AS (
+  SELECT doc_id FROM documents
+  WHERE instr(' ' || array_to_string(
+                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+              ' ') || ' ', '{needle}') > 0),
+qt AS (SELECT unnest([{tlist}]) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt USING (term) GROUP BY 1),
+sc AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM ver)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _facet_counts_oracle() -> str:
+    """Twin of q_facet_counts: distinct matching docs of the term query,
+    counted per facet value."""
+    return f"""
+WITH {_TOK},
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term = '{FACET_QUERY}')
+SELECT d.{FACET_BY} AS {FACET_BY}, count(*)::BIGINT AS n_docs
+FROM documents d JOIN cand USING (doc_id)
+GROUP BY 1 ORDER BY n_docs DESC, {FACET_BY}"""
+
+
 def _emb_pairs_oracle(
     threshold: float, lsh: bool, dim: int = 64, probe_hamming: int = 1
 ) -> str:
@@ -1525,6 +1585,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_hierarchy_search": _hierarchy_search_oracle(),
         "ft_prefix_search": _prefix_search_oracle(),
         "ft_fuzzy_search": _fuzzy_search_oracle(),
+        "ft_phrase_search": _phrase_search_oracle(),
+        "ft_facet_counts": _facet_counts_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
         "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),

@@ -202,3 +202,95 @@ class PerlinEngine:
         return self._search_expanded(
             field, self.expand_fuzzy(field, term, max_edits, max_terms), k
         )
+
+    def _analyze_ordered(self, text: str, spec) -> list[str]:
+        """The field's analyzed token stream for one string, order and
+        duplicates preserved (what positional matching operates on)."""
+        import pandas as pd
+
+        from .analysis import apply_field_pipeline, tokenize
+
+        toks = tokenize(pd.Series([text]), spec.tokenizer)
+        for fname, terms in apply_field_pipeline(toks, spec):
+            if fname == spec.field:
+                return terms.tolist()
+        return []
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int | None = 10,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """Phrase search, rank-then-verify: candidacy = conjunctive match
+        of the phrase's distinct terms (index-pruned, the cheap set), then
+        adjacency is verified ONLY on candidates by re-analyzing their
+        source text with the SAME Arrow analyzer the index was built with
+        (exact parity by construction — positions are post-analysis, the
+        standard semantics).  Score = conjunctive BM25 over the distinct
+        terms; ordering ``(score desc, doc_id asc)``.
+
+        100-TB shape: the verification never scans the corpus — it runs
+        inside ``mapInPandas`` over the candidate⋈docs join (doc_id-keyed),
+        and the final top-k folds into TakeOrderedAndProject.  An index
+        with positional postings would replace the text re-scan; this
+        formulation needs no index-format change and its verify cost is
+        |candidates|, not |corpus|."""
+        spec = (pipeline or self.pipeline).text_spec
+        terms = self._analyze_ordered(phrase, spec)
+        if not terms:
+            return self.search(QuerySpec(groups=(), filters=()), k=k)
+        uniq = tuple(dict.fromkeys(terms))
+        cand = self.search(
+            QuerySpec(groups=((spec.field, "all", uniq),), filters=()), k=None
+        )
+        if len(terms) == 1:
+            return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k) if k else cand
+        src = spec.source
+        joined = cand.join(self.index.docs.select("doc_id", src), "doc_id")
+        needle = " " + " ".join(terms) + " "
+        tokenizer, field = spec.tokenizer, spec.field
+
+        def verify(batches):
+            import pandas as pd
+
+            from .analysis import apply_field_pipeline, tokenize
+
+            for pdf in batches:
+                if pdf.empty:
+                    yield pdf[["doc_id", "score"]]
+                    continue
+                pdf = pdf.reset_index(drop=True)
+                toks = tokenize(pdf[src], tokenizer)
+                streams = pd.Series([""] * len(pdf))
+                for fname, ts in apply_field_pipeline(toks, spec):
+                    if fname == field and len(ts):
+                        joined_terms = ts.groupby(level=0).agg(" ".join)
+                        streams.update(joined_terms)
+                mask = (" " + streams + " ").str.contains(needle, regex=False)
+                yield pdf.loc[mask.to_numpy(), ["doc_id", "score"]]
+
+        out = joined.mapInPandas(verify, schema="doc_id long, score double")
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    def facet_counts(
+        self,
+        query: str | QuerySpec,
+        by: str,
+        filters=(),
+        k: int | None = None,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(by, n_docs) — matching-document counts per value of a docs
+        column over the FULL match set (search-engine faceting).  One
+        search job + one doc_id-keyed join + one aggregation keyed by the
+        facet value; n_docs desc, value asc."""
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        out = (
+            hits.join(self.index.docs.select("doc_id", by), "doc_id")
+            .groupBy(by)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(by))
+        )
+        return out.limit(k) if k is not None else out

@@ -295,3 +295,50 @@ def test_prefix_and_fuzzy_search(spark):
     empty = eng.search_prefix("zzz", k=10)
     assert empty.columns == ["doc_id", "score"] and empty.count() == 0
     assert eng.search_fuzzy("qqq", k=10).count() == 0
+
+
+def test_phrase_search_adjacency_and_facets(spark):
+    """Phrase candidacy = AND match, but only ADJACENT (analyzed-stream)
+    occurrences survive verification; facet_counts aggregates the full
+    match set per docs column."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "merge sort is fast", "a"),
+            (1, "sort then merge later", "a"),      # both terms, NOT adjacent
+            (2, "do a Merge SORT here", "b"),       # adjacency after lowercase
+            (3, "merge sort merge sort", "b"),
+            (4, "nothing relevant", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+
+    hits = eng.search_phrase("merge sort", k=10).collect()
+    assert [r["doc_id"] for r in hits] and {r["doc_id"] for r in hits} == {0, 2, 3}
+    # scores equal the conjunctive BM25 over the distinct terms: doc 1
+    # scores in THAT query but is excluded here by adjacency only
+    conj = {
+        r["doc_id"]: r["score"]
+        for r in eng.search(
+            QuerySpec(groups=(("text", "all", ("merge", "sort")),)), k=10
+        ).collect()
+    }
+    assert 1 in conj
+    for r in hits:
+        assert r["score"] == conj[r["doc_id"]]
+
+    # single-term phrase degrades to a plain term query (no verify pass)
+    one = {r["doc_id"] for r in eng.search_phrase("merge", k=10).collect()}
+    assert one == {0, 1, 2, 3}
+    # phrase absent everywhere -> empty; analyzer-empty phrase -> empty
+    assert eng.search_phrase("fast merge", k=10).count() == 0
+    assert eng.search_phrase("", k=10).count() == 0
+
+    # facets over the full "merge" match set, (n_docs desc, value asc)
+    fc = [(r["source"], r["n_docs"]) for r in eng.facet_counts("merge", by="source").collect()]
+    assert fc == [("a", 2), ("b", 2)]
+    fc2 = [(r["source"], r["n_docs"]) for r in eng.facet_counts("nothing", by="source").collect()]
+    assert fc2 == [("b", 1)]

@@ -642,6 +642,18 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(_engine(spark, sf_dir).search_phrase(PHRASE_QUERY, k=10))
 
 
+MLT_DOC_ID = 7
+MLT_MAX_TERMS = 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar docs to a seed doc: its top tf*idf terms as an Any-BM25
+    query, seed excluded."""
+    return _score_x1e4(
+        _engine(spark, sf_dir).more_like_this(MLT_DOC_ID, k=10, max_terms=MLT_MAX_TERMS)
+    )
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-engine faceting: matching-doc counts per source over the
     full match set of one term query."""
@@ -761,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_search": q_fuzzy_search,
         "ft_phrase_search": q_phrase_search,
         "ft_facet_counts": q_facet_counts,
+        "ft_more_like_this": q_more_like_this,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "golden_reference_suite": q_golden_reference,
         "ft_code_ident_bm25": q_code_ident_bm25,
@@ -1144,7 +1157,7 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
-def _expansion_bm25_body(exp_select: str, k: int = 10) -> str:
+def _expansion_bm25_body(exp_select: str, k: int = 10, where_extra: str = "") -> str:
     """The `_bm25_oracle` Any body with qt sourced from an expansion
     subquery instead of literal terms (the `_hierarchy_search_oracle`
     shape, shared by the prefix/fuzzy oracles).  ``exp_select`` must
@@ -1162,7 +1175,7 @@ sc AS (
              * m.tf * 2.2
              / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
   FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
-  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand) {where_extra}
   GROUP BY 1)
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM sc ORDER BY score DESC, doc_id LIMIT {k}
@@ -1226,6 +1239,20 @@ sc AS (
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def _more_like_this_oracle(k: int = 10) -> str:
+    """Twin of q_more_like_this: the seed doc's top tf*idf terms (same
+    idf formula the index's vocabulary stores), (weight desc, term asc)
+    capped, then the Any body with the seed excluded from results."""
+    exp = (
+        f"SELECT term FROM ("
+        f"SELECT s.term, s.tf * ln(1 + ((SELECT n FROM stv) - v.df + 0.5) / (v.df + 0.5)) AS w "
+        f"FROM (SELECT term, count(*)::BIGINT AS tf FROM tok WHERE doc_id = {MLT_DOC_ID} GROUP BY 1) s "
+        f"JOIN voc v USING (term) "
+        f"ORDER BY w DESC, term LIMIT {MLT_MAX_TERMS})"
+    )
+    return _expansion_bm25_body(exp, k, where_extra=f"AND m.doc_id <> {MLT_DOC_ID}")
 
 
 def _facet_counts_oracle() -> str:
@@ -1587,6 +1614,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_fuzzy_search": _fuzzy_search_oracle(),
         "ft_phrase_search": _phrase_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
+        "ft_more_like_this": _more_like_this_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
         "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),

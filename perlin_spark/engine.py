@@ -274,6 +274,50 @@ class PerlinEngine:
         out = out.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
+    #: more_like_this representative-term cap — operator contract
+    MLT_MAX_TERMS = 10
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int | None = 10,
+        max_terms: int = MLT_MAX_TERMS,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """Similar-document retrieval: the seed doc's ``max_terms``
+        highest tf·idf terms (tf from re-analyzing its source text with
+        the build analyzer; idf from the driver-cached vocabulary — the
+        index's own numbers) run as ONE Any-combinator BM25 query, seed
+        excluded.  Tie-break (weight desc, term asc), then the usual
+        (score desc, doc_id asc).
+
+        Driver work is O(seed doc length): one single-row fetch + one
+        cached vocab batch — the scored retrieval is the same
+        single-stage search job as every other query."""
+        from collections import Counter
+
+        spec = (pipeline or self.pipeline).text_spec
+        rows = self.index.docs.filter(F.col("doc_id") == doc_id).select(
+            spec.source
+        ).collect()
+        if not rows or rows[0][0] is None:
+            return self.search(QuerySpec(groups=(), filters=()), k=k)
+        tf = Counter(self._analyze_ordered(rows[0][0], spec))
+        vocab = self.index.vocab_lookup([(spec.field, t) for t in tf])
+        weighted = sorted(
+            ((t, n * vocab[(spec.field, t)][1]) for t, n in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:max_terms]
+        terms = tuple(t for t, _ in weighted)
+        if not terms:
+            return self.search(QuerySpec(groups=(), filters=()), k=k)
+        hits = self.search(
+            QuerySpec(groups=((spec.field, "any", terms),), filters=()),
+            k=None if k is None else k + 1,
+        ).filter(F.col("doc_id") != doc_id)
+        hits = hits.orderBy(F.desc("score"), F.asc("doc_id"))
+        return hits.limit(k) if k is not None else hits
+
     def facet_counts(
         self,
         query: str | QuerySpec,

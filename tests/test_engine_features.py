@@ -342,3 +342,28 @@ def test_phrase_search_adjacency_and_facets(spark):
     assert fc == [("a", 2), ("b", 2)]
     fc2 = [(r["source"], r["n_docs"]) for r in eng.facet_counts("nothing", by="source").collect()]
     assert fc2 == [("b", 1)]
+
+
+def test_more_like_this(spark):
+    """Similar-doc retrieval: seed's top tf*idf terms as an Any query,
+    seed excluded; rare shared terms dominate the selection."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "zebra zebra quark common common common"),
+            (1, "zebra quark plus other words common"),   # shares the rare terms
+            (2, "common words only here nothing rare"),
+            (3, "totally unrelated text body"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+    hits = eng.more_like_this(0, k=10, max_terms=3).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert 0 not in ids          # seed never returned
+    assert ids[0] == 1           # rare-term sharer ranks first
+    assert 3 not in ids          # no shared selected terms at all
+    # unknown seed id -> empty, never raises
+    assert eng.more_like_this(999, k=10).count() == 0

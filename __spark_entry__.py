@@ -660,6 +660,23 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).facet_counts(FACET_QUERY, by=FACET_BY)
 
 
+SNIPPET_TERMS = ["dup", "stream", "vector"]   # the ft_bm25_or query
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting: first query-term position (1-based, analyzed
+    stream) + a ±3-token context snippet for each OR-query top-10 hit."""
+    eng = _engine(spark, sf_dir)
+    pl = QueryPipeline(text_spec=DOC_SPEC, text_combinator="any")
+    out = eng.snippets(" ".join(SNIPPET_TERMS), k=10, pipeline=pl)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_x1e4"),
+        "pos",
+        "snippet",
+    )
+
+
 def _engine_dl_fallback(spark: SparkSession, sf_dir: str) -> PerlinEngine:
     """Same documents index as :func:`_engine`, but with the doc-length
     broadcast cap forced to 0 on THIS instance, so every search takes the
@@ -774,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_search": q_phrase_search,
         "ft_facet_counts": q_facet_counts,
         "ft_more_like_this": q_more_like_this,
+        "ft_snippets": q_snippets,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "golden_reference_suite": q_golden_reference,
         "ft_code_ident_bm25": q_code_ident_bm25,
@@ -1255,6 +1273,30 @@ def _more_like_this_oracle(k: int = 10) -> str:
     return _expansion_bm25_body(exp, k, where_extra=f"AND m.doc_id <> {MLT_DOC_ID}")
 
 
+def _snippets_oracle(window: int = 3) -> str:
+    """Twin of q_snippets: the OR-query top-10 (nested-WITH reuse of the
+    _bm25_oracle body), joined with 1-based first-occurrence position via
+    list_position and the same ±window token slice."""
+    top = _bm25_oracle(SNIPPET_TERMS, conj=False)
+    first = ", ".join(
+        f"coalesce(nullif(list_position(toks, '{t}'), 0), 999999999)" for t in SNIPPET_TERMS
+    )
+    return f"""
+WITH top AS ({top}),
+t2 AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+       FROM documents),
+p AS (SELECT top.doc_id, top.score_x1e4, toks,
+             least({first}) AS rawpos
+      FROM top JOIN t2 USING (doc_id))
+SELECT doc_id, score_x1e4,
+       (CASE WHEN rawpos = 999999999 THEN 0 ELSE rawpos END)::BIGINT AS pos,
+       CASE WHEN rawpos = 999999999 THEN ''
+            ELSE array_to_string(toks[greatest(1, rawpos - {window}):rawpos + {window}], ' ')
+       END AS snippet
+FROM p"""
+
+
 def _facet_counts_oracle() -> str:
     """Twin of q_facet_counts: distinct matching docs of the term query,
     counted per facet value."""
@@ -1615,6 +1657,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_phrase_search": _phrase_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
         "ft_more_like_this": _more_like_this_oracle(),
+        "ft_snippets": _snippets_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
         "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),

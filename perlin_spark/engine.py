@@ -338,3 +338,80 @@ class PerlinEngine:
             .orderBy(F.desc("n_docs"), F.asc(by))
         )
         return out.limit(k) if k is not None else out
+
+    #: snippet context half-width (tokens each side) — operator contract
+    SNIPPET_WINDOW = 3
+
+    def snippets(
+        self,
+        query: str | QuerySpec,
+        k: int | None = 10,
+        window: int = SNIPPET_WINDOW,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(doc_id, score, pos, snippet) — highlighting: for each top-k
+        hit, the 1-based position of the FIRST query-term occurrence in
+        the doc's analyzed token stream and the ±``window``-token context
+        around it, space-joined.  ``pos`` is 0 / snippet empty if no term
+        occurs (possible only for pure-filter or May-only queries).
+
+        Cost shape: the search job is unchanged; highlighting touches the
+        k result rows only (k-row join + one Arrow batch pass), never the
+        corpus."""
+        pl = pipeline or self.pipeline
+        spec = pl.text_spec
+        qspec = (
+            pl.analyze(query, tuple((f.op, f.field, f.term) for f in filters))
+            if isinstance(query, str)
+            else query
+        )
+        qterms = frozenset(
+            t for f, _, ts in qspec.groups if f == spec.field for t in ts
+        )
+        hits = self.search(qspec, k=k)
+        src = spec.source
+        joined = hits.join(self.index.docs.select("doc_id", src), "doc_id")
+        tokenizer, field = spec.tokenizer, spec.field
+
+        def gen(batches):
+            import pandas as pd
+
+            from .analysis import apply_field_pipeline, tokenize
+
+            for pdf in batches:
+                if pdf.empty:
+                    yield pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64"),
+                         "pos": pd.Series([], dtype="int64"),
+                         "snippet": pd.Series([], dtype="object")}
+                    )
+                    continue
+                pdf = pdf.reset_index(drop=True)
+                toks = tokenize(pdf[src], tokenizer)
+                streams = pd.Series([None] * len(pdf), dtype="object")
+                for fname, ts in apply_field_pipeline(toks, spec):
+                    if fname == field and len(ts):
+                        streams.update(ts.groupby(level=0).agg(list))
+                pos_out, snip_out = [], []
+                for stream in streams:
+                    stream = stream or []
+                    pos = next(
+                        (i + 1 for i, t in enumerate(stream) if t in qterms), 0
+                    )
+                    pos_out.append(pos)
+                    snip_out.append(
+                        " ".join(stream[max(0, pos - 1 - window): pos + window])
+                        if pos
+                        else ""
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "score": pdf["score"],
+                     "pos": pos_out, "snippet": snip_out}
+                )
+
+        out = joined.mapInPandas(
+            gen, schema="doc_id long, score double, pos long, snippet string"
+        )
+        return out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -367,3 +367,31 @@ def test_more_like_this(spark):
     assert 3 not in ids          # no shared selected terms at all
     # unknown seed id -> empty, never raises
     assert eng.more_like_this(999, k=10).count() == 0
+
+
+def test_snippets_positions_and_context(spark):
+    """Highlighting: 1-based first-occurrence position over the analyzed
+    stream, ±window context clipped at doc edges, empty for termless
+    hits."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "zzz yyy xxx TARGET aaa bbb ccc ddd"),   # middle hit
+            (1, "target starts this document body"),      # pos 1, left-clipped
+            (2, "ends right at the target"),              # right-clipped
+            (3, "no match here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+    rows = {r["doc_id"]: r for r in eng.snippets("target", k=10, window=2).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["pos"] == 4 and rows[0]["snippet"] == "yyy xxx target aaa bbb"
+    assert rows[1]["pos"] == 1 and rows[1]["snippet"] == "target starts this"
+    assert rows[2]["pos"] == 5 and rows[2]["snippet"] == "at the target"
+    # ordering is the search ordering (score desc, doc_id asc)
+    ordered = [r["doc_id"] for r in eng.snippets("target", k=10, window=2).collect()]
+    scores = [rows[d]["score"] for d in ordered]
+    assert scores == sorted(scores, reverse=True)

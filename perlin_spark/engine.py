@@ -230,12 +230,15 @@ class PerlinEngine:
         standard semantics).  Score = conjunctive BM25 over the distinct
         terms; ordering ``(score desc, doc_id asc)``.
 
-        100-TB shape: the verification never scans the corpus — it runs
-        inside ``mapInPandas`` over the candidate⋈docs join (doc_id-keyed),
-        and the final top-k folds into TakeOrderedAndProject.  An index
-        with positional postings would replace the text re-scan; this
-        formulation needs no index-format change and its verify cost is
-        |candidates|, not |corpus|."""
+        100-TB shape: the re-analysis cost is |candidates| — the verify
+        UDF only ever receives candidate rows (Catalyst eliminates the
+        k=None sort and broadcasts the candidate set into the docs join;
+        executed plan pinned by test).  The docs PROBE side is a
+        two-column projected scan whose IO shrinks further under a
+        doc_id-clustered layout (row-group min/max pruning) or Spark's
+        runtime bloom-filter join.  An index with positional postings
+        would remove that scan entirely; this formulation needs no
+        index-format change."""
         spec = (pipeline or self.pipeline).text_spec
         terms = self._analyze_ordered(phrase, spec)
         if not terms:

@@ -337,6 +337,18 @@ def test_phrase_search_adjacency_and_facets(spark):
     assert eng.search_phrase("fast merge", k=10).count() == 0
     assert eng.search_phrase("", k=10).count() == 0
 
+    # executed-plan pin (the docstring's claims): candidates broadcast
+    # into the docs join, verify UDF above it, one TakeOrdered at the
+    # top, and NO global sort between them (Catalyst eliminates the
+    # k=None candidate sort under the join)
+    df = eng.search_phrase("merge sort", k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    top = plan.split("MapInPandas", 1)[0]
+    assert "Sort" not in top
+
     # facets over the full "merge" match set, (n_docs desc, value asc)
     fc = [(r["source"], r["n_docs"]) for r in eng.facet_counts("merge", by="source").collect()]
     assert fc == [("a", 2), ("b", 2)]

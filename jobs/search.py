@@ -5,9 +5,16 @@ Usage::
     cd /root/repo && zip -r /tmp/perlin_spark.zip perlin_spark
     spark-submit --py-files /tmp/perlin_spark.zip jobs/search.py \
         --index /path/to/index_root --query "hash join" --k 10 \
+        [--mode bm25|phrase|prefix|fuzzy|mlt] \
         [--field content] [--combinator all|any] \
         [--must field:term ...] [--must-not field:term ...] \
-        [--output /path/to/results_parquet]
+        [--snippets] [--output /path/to/results_parquet]
+
+``--mode`` selects the query operator: ``phrase`` (adjacency-verified),
+``prefix``/``fuzzy`` (vocabulary term expansion; fuzzy takes
+``--max-edits``), ``mlt`` (more-like-this; ``--query`` is the seed
+doc_id).  ``--snippets`` adds (pos, snippet) highlighting columns
+(bm25 mode only).
 
 Prints the top-k (doc_id, score) to stdout; ``--output`` additionally
 writes the full ranked result as parquet (for pipeline consumption).
@@ -26,6 +33,10 @@ def parse_args(argv):
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--field", default=None, help="text field (default: first spec)")
     p.add_argument("--combinator", choices=["all", "any"], default="all")
+    p.add_argument("--mode", choices=["bm25", "phrase", "prefix", "fuzzy", "mlt"],
+                   default="bm25")
+    p.add_argument("--max-edits", type=int, default=1)
+    p.add_argument("--snippets", action="store_true")
     p.add_argument("--must", action="append", default=[], metavar="FIELD:TERM")
     p.add_argument("--must-not", action="append", default=[], metavar="FIELD:TERM")
     p.add_argument("--output", default=None)
@@ -55,11 +66,25 @@ def main(argv=None) -> int:
         f, t = raw.split(":", 1)
         filters.append(MustNot(f, t))
 
-    result = eng.search(args.query, k=args.k, filters=filters)
+    if args.mode == "phrase":
+        result = eng.search_phrase(args.query, k=args.k)
+    elif args.mode == "prefix":
+        result = eng.search_prefix(args.query, k=args.k, field=spec.field)
+    elif args.mode == "fuzzy":
+        result = eng.search_fuzzy(
+            args.query, k=args.k, field=spec.field, max_edits=args.max_edits
+        )
+    elif args.mode == "mlt":
+        result = eng.more_like_this(int(args.query), k=args.k)
+    elif args.snippets:
+        result = eng.snippets(args.query, k=args.k, filters=filters)
+    else:
+        result = eng.search(args.query, k=args.k, filters=filters)
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
     for r in result.collect():
-        print(f"{r['doc_id']}\t{r['score']:.6f}")
+        extra = f"\t{r['pos']}\t{r['snippet']}" if args.snippets and args.mode == "bm25" else ""
+        print(f"{r['doc_id']}\t{r['score']:.6f}{extra}")
     return 0
 
 

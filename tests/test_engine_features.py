@@ -407,3 +407,45 @@ def test_snippets_positions_and_context(spark):
     ordered = [r["doc_id"] for r in eng.snippets("target", k=10, window=2).collect()]
     scores = [rows[d]["score"] for d in ordered]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_job_modes(spark, tmp_path, capsys):
+    """The spark-submit search job's query modes (bm25/phrase/prefix/
+    fuzzy/mlt/--snippets) against a persisted epoch."""
+    import sys
+
+    from perlin_spark.epochs import build_epoch
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import search as job
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "merge sort is fast and stable"),
+            (1, "sort then merge the runs"),
+            (2, "merchant ledger entry"),
+            (3, "unrelated body of text"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "idx")
+    build_epoch(
+        spark, corpus, [FieldSpec(field="text", source="text")], root,
+        n_shards=2, buckets=4,
+    )
+
+    def run(*argv):
+        assert job.main(["--index", root, *argv]) == 0
+        return [
+            ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines() if ln
+        ]
+
+    assert {r[0] for r in run("--query", "merge sort")} == {"0", "1"}
+    assert {r[0] for r in run("--query", "merge sort", "--mode", "phrase")} == {"0"}
+    # prefix 'mer' reaches the merchant doc too
+    assert {r[0] for r in run("--query", "mer", "--mode", "prefix")} == {"0", "1", "2"}
+    assert {r[0] for r in run("--query", "sost", "--mode", "fuzzy")} == {"0", "1"}
+    mlt = run("--query", "0", "--mode", "mlt")
+    assert "0" not in {r[0] for r in mlt} and mlt
+    snip = run("--query", "merge", "--snippets")
+    assert all(len(r) == 4 for r in snip) and snip[0][2] != "0"

@@ -636,6 +636,31 @@ FACET_QUERY = "scan"          # df 398 at sf0.01 — a wide match set
 FACET_BY = "source"
 
 
+DELETED_IDS = [292, 59]   # the ft_bm25_and_topk top-2 at sf0.01 — the
+                          # tombstone gate must visibly refill the top-k
+
+
+def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time tombstones (Lucene live-docs semantics): the AND query
+    with its top-2 docs deleted — excluded from candidacy in the scorer
+    closure, survivors keep their as-built (stale-stats) scores, top-k
+    refills.  A fresh engine key: tombstones are installed on THIS
+    handle only."""
+    key = f"del:{sf_dir}"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        eng = PerlinEngine.build(
+            spark, docs, [DOC_SPEC],
+            pipeline=QueryPipeline(text_spec=DOC_SPEC), n_shards=4,
+        ).cache()
+        eng.index.set_deleted(
+            spark.createDataFrame([(i,) for i in DELETED_IDS], "doc_id long")
+        )
+        _ENGINES[key] = eng
+    return _score_x1e4(eng.search("hash join", k=10))
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search: conjunctive index candidates, adjacency verified on
     candidates only via the build-time Arrow analyzer, conj-BM25 ranks."""
@@ -788,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hierarchy_search": q_hierarchy_search,
         "ft_prefix_search": q_prefix_search,
         "ft_fuzzy_search": q_fuzzy_search,
+        "ft_bm25_deleted": q_bm25_deleted,
         "ft_phrase_search": q_phrase_search,
         "ft_facet_counts": q_facet_counts,
         "ft_more_like_this": q_more_like_this,
@@ -840,7 +866,8 @@ stv AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
 
 def _bm25_oracle(terms: list[str], conj: bool, k: int = 10,
                  must: list[str] | None = None, must_not: list[str] | None = None,
-                 may: list[str] | None = None) -> str:
+                 may: list[str] | None = None,
+                 exclude_ids: list[int] | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     # May terms score (same BM25 formula) but never gate candidacy
     slist = ", ".join(f"'{t}'" for t in sorted(set(terms) | set(may or [])))
@@ -857,13 +884,16 @@ def _bm25_oracle(terms: list[str], conj: bool, k: int = 10,
         nlist = ", ".join(f"'{t}'" for t in must_not)
         must_sql += f"""
   AND doc_id NOT IN (SELECT doc_id FROM tfv WHERE term IN ({nlist}))"""
+    excl_sql = ""
+    if exclude_ids:
+        excl_sql = f"\n  AND doc_id NOT IN ({', '.join(str(i) for i in exclude_ids)})"
     return f"""
 WITH {_TOK},
 qt AS (SELECT unnest([{tlist}]) AS term),
 qs AS (SELECT unnest([{slist}]) AS term),
 qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qs USING (term) GROUP BY 1),
 cand AS (SELECT doc_id FROM tfv JOIN qt USING (term) GROUP BY doc_id {having}),
-cand2 AS (SELECT doc_id FROM cand WHERE TRUE {must_sql}),
+cand2 AS (SELECT doc_id FROM cand WHERE TRUE {must_sql}{excl_sql}),
 sc AS (
   SELECT m.doc_id,
          sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
@@ -1654,6 +1684,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_hierarchy_search": _hierarchy_search_oracle(),
         "ft_prefix_search": _prefix_search_oracle(),
         "ft_fuzzy_search": _fuzzy_search_oracle(),
+        "ft_bm25_deleted": _bm25_oracle(
+            ["hash", "join"], conj=True, exclude_ids=DELETED_IDS
+        ),
         "ft_phrase_search": _phrase_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
         "ft_more_like_this": _more_like_this_oracle(),

@@ -219,6 +219,11 @@ class IndexData:
     #: groupBy("shard") is then already clustered (no exchange), making a
     #: warm query ONE single-stage job ending in TakeOrderedAndProject
     _shard_layout: bool = False
+    #: pending tombstones (a doc_id DataFrame) — the query-time live-docs
+    #: filter (Lucene deleted-docs semantics: excluded from every result,
+    #: BM25 stats stay as built until a physical fold)
+    deleted: DataFrame | None = None
+    _deleted_arr: object | None = None
 
     def cache(self) -> "IndexData":
         # serving layout: one repartition at cache-materialization time
@@ -238,6 +243,42 @@ class IndexData:
         if self._dl_bc not in (None, False):
             self._dl_bc.unpersist()
             self._dl_bc = None
+
+    #: tombstone sets above this ride no closure: at that point deletes
+    #: are corpus-scale and the answer is a physical fold, not a filter
+    DELETED_CLOSURE_MAX = 1_000_000
+
+    def set_deleted(self, df: DataFrame | None) -> None:
+        """Install (or clear) the tombstone set for this index handle."""
+        self.deleted = df
+        self._deleted_arr = None
+
+    def deleted_array(self):
+        """Driver-cached sorted int64 array of tombstoned doc_ids (None
+        when none).  The size gate runs FIRST as a one-scalar count —
+        cap-before-collect, same rule as :meth:`dl_broadcast`: finding
+        out a tombstone set is too big must never itself collect it."""
+        if self.deleted is None:
+            return None
+        if self._deleted_arr is None:
+            import numpy as np
+
+            n = self.deleted.count()
+            if n == 0:
+                self._deleted_arr = False
+            elif n > self.DELETED_CLOSURE_MAX:
+                raise ValueError(
+                    f"{n} pending tombstones exceed DELETED_CLOSURE_MAX "
+                    f"({self.DELETED_CLOSURE_MAX}); fold them physically "
+                    "(rebuild/compact the index without the deleted docs) "
+                    "instead of filtering at query time"
+                )
+            else:
+                ids = self.deleted.select("doc_id").distinct().collect()
+                self._deleted_arr = np.sort(
+                    np.array([r["doc_id"] for r in ids], dtype=np.int64)
+                )
+        return None if self._deleted_arr is False else self._deleted_arr
 
     #: dl blobs above this total size stay on the join path (a broadcast
     #: this large would strain the driver; the blobs are ~2 bytes/doc, so

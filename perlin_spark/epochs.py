@@ -459,6 +459,35 @@ def add_field(
     return epoch
 
 
+DELETES_DIR = "_deletes"
+
+
+def delete_docs(spark: SparkSession, root: str, doc_ids) -> int:
+    """Tombstone documents in a persisted index (the delete lifecycle a
+    100-TB corpus needs — takedowns, GDPR erasure — without rewriting
+    posting blobs).  Appends the ids as parquet under ``root/_deletes``
+    (an underscore dir: invisible to the epoch partition discovery, the
+    ``_centroids`` trick).  ``load_index`` installs them as the query-time
+    live-docs filter: deleted docs are excluded from every result in both
+    scoring paths, while BM25 statistics (df, avgdl, n_docs) stay as
+    built until a physical fold — standard Lucene deleted-docs semantics.
+    Tombstones survive ``compact_epochs`` (it folds epochs, not deletes)
+    and are idempotent (duplicate ids collapse at load).  Accepts a
+    list of ids or a DataFrame with a ``doc_id`` column; returns the
+    number of distinct ids written by THIS call."""
+    ddir = os.path.join(root, DELETES_DIR)
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        df = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        ).distinct()
+    n = df.count()
+    if n:
+        df.coalesce(1).write.mode("append").parquet(ddir)
+    return n
+
+
 def load_index(
     spark: SparkSession,
     root: str,
@@ -522,6 +551,9 @@ def load_index(
         vocab_source=vocab_source,
     )
     idx.buckets = int(params["buckets"])
+    ddir = os.path.join(root, DELETES_DIR)
+    if os.path.isdir(ddir):
+        idx.set_deleted(spark.read.parquet(ddir).select("doc_id").distinct())
     return idx
 
 

@@ -107,7 +107,8 @@ class _ShardScorer:
     """
 
     def __init__(self, k1: float, b: float, topk: int | None, prune: bool,
-                 ops: list[dict], n_groups: int, n_must: int, dl_bc=None):
+                 ops: list[dict], n_groups: int, n_must: int, dl_bc=None,
+                 deleted=None):
         self.k1 = k1
         self.b = b
         self.topk = topk
@@ -115,6 +116,10 @@ class _ShardScorer:
         self.ops = ops
         self.n_groups = n_groups
         self.n_must = n_must
+        #: sorted int64 tombstone array (IndexData.deleted_array) — the
+        #: live-docs filter, applied at candidate generation in BOTH
+        #: scoring paths so shard-local top-k always refills from live docs
+        self.deleted = deleted
         #: once-per-index broadcast {(field, shard): [dl blobs]}; when set,
         #: rows carry no dl_blob column (no per-query broadcast join)
         self.dl_bc = dl_bc
@@ -255,6 +260,10 @@ class _ShardScorer:
 
         if cand is None:
             return self._empty()
+        if self.deleted is not None:
+            cand = cand[np.isin(cand, self.deleted, invert=True)]
+            if cand.size == 0:
+                return self._empty()
 
         # --- chained filters (Must / MustNot) --------------------------------
         for op in must:
@@ -367,6 +376,10 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
         *zip(*[codec.decode_postings(bl)
                for bl in blobs_by_term[(ordered[0]["field"], ordered[0]["term"])]])
     )[0]
+    if self.deleted is not None:
+        # a deleted doc's score must never seed θ: pruning with a
+        # threshold the final ranking cannot contain would drop live docs
+        seed_docs = seed_docs[np.isin(seed_docs, self.deleted, invert=True)]
     seed_scores = np.zeros(seed_docs.size, dtype=np.float64)
     for op in ordered:
         seed_scores += exact(op, seed_docs)
@@ -398,6 +411,8 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
             ]
         )
     )
+    if self.deleted is not None:
+        cand = cand[np.isin(cand, self.deleted, invert=True)]
     scores = np.zeros(cand.size, dtype=np.float64)
     for op in essential:
         scores += exact(op, cand)
@@ -520,7 +535,8 @@ def search(
         )
 
     scorer = _ShardScorer(
-        index.k1, index.b, k, prune, ops, n_groups, n_must, dl_bc=dl_bc
+        index.k1, index.b, k, prune, ops, n_groups, n_must, dl_bc=dl_bc,
+        deleted=index.deleted_array(),
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:

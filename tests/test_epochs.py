@@ -10,6 +10,7 @@ from perlin_spark import (
     QueryPipeline,
     build_epoch,
     build_index,
+    delete_docs,
     list_epochs,
     load_index,
 )
@@ -349,3 +350,60 @@ def test_build_epoch_rejects_overlapping_doc_ids(spark, tmp_path):
     from perlin_spark import load_index
 
     assert load_index(spark, root).n_docs == 4
+
+
+def test_delete_docs_tombstones(spark, tmp_path):
+    """Query-time deletes (Lucene live-docs semantics): tombstoned docs
+    vanish from every result, shard top-k refills from live docs, scores
+    of survivors are UNCHANGED (stats stay as built), the MaxScore and
+    exhaustive paths agree, and tombstones persist across reopen and are
+    idempotent."""
+    import numpy as np
+
+    root = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(i, f"alpha common{' beta' * (i % 3 == 0)} w{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    build_epoch(spark, corpus, [spec], root, n_shards=2, buckets=4)
+    pl = QueryPipeline(text_spec=spec, text_combinator="any")
+
+    eng = PerlinEngine(load_index(spark, root), pl)
+    before = [(r["doc_id"], r["score"]) for r in eng.search("alpha beta", k=4).collect()]
+    victims = [before[0][0], before[2][0]]
+
+    assert delete_docs(spark, root, victims) == 2
+    assert delete_docs(spark, root, [victims[0]]) == 1  # idempotent at load
+
+    eng2 = PerlinEngine(load_index(spark, root), pl)
+    after = [(r["doc_id"], r["score"]) for r in eng2.search("alpha beta", k=4).collect()]
+    got_ids = [d for d, _ in after]
+    assert not set(got_ids) & set(victims)
+    assert len(after) == 4  # top-k REFILLED from live docs, not truncated
+    # survivors keep their exact as-built scores (stale-stats semantics)
+    before_scores = dict(before)
+    for d, s in after:
+        if d in before_scores:
+            assert s == before_scores[d]
+
+    # MaxScore (pruned, multi-term any) == exhaustive on the deleted index
+    pruned = [(r["doc_id"], round(r["score"], 9))
+              for r in eng2.search("alpha beta", k=4).collect()]
+    exact = [(r["doc_id"], round(r["score"], 9))
+             for r in eng2.search("alpha beta", k=4, prune=False).collect()]
+    assert pruned == exact
+
+    # conjunctive + Must paths also exclude tombstones
+    assert not {
+        r["doc_id"] for r in eng2.search("alpha", k=None).collect()
+    } & set(victims)
+
+    # empty tombstone set short-circuits; over-cap raises BEFORE collect
+    idx = load_index(spark, root)
+    idx.set_deleted(idx.deleted.filter("doc_id < 0"))
+    assert idx.deleted_array() is None
+    idx2 = load_index(spark, root)
+    idx2.DELETED_CLOSURE_MAX = 0
+    with pytest.raises(ValueError, match="tombstones"):
+        PerlinEngine(idx2, pl).search("alpha", k=4).collect()

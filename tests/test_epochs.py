@@ -407,3 +407,30 @@ def test_delete_docs_tombstones(spark, tmp_path):
     idx2.DELETED_CLOSURE_MAX = 0
     with pytest.raises(ValueError, match="tombstones"):
         PerlinEngine(idx2, pl).search("alpha", k=4).collect()
+
+
+def test_delete_docs_job(spark, tmp_path, capsys):
+    """The spark-submit tombstone job: --ids and --ids-parquet both land
+    in _deletes and take effect on the next load."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import delete_docs as job
+
+    root = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(i, f"alpha w{i}") for i in range(6)], "doc_id long, text string"
+    )
+    spec = FieldSpec(field="text", source="text")
+    build_epoch(spark, corpus, [spec], root, n_shards=1, buckets=2)
+
+    assert job.main(["--index", root, "--ids", "0,1"]) == 0
+    ids_pq = str(tmp_path / "more.parquet")
+    spark.createDataFrame([(2,)], "doc_id long").write.parquet(ids_pq)
+    assert job.main(["--index", root, "--ids-parquet", ids_pq]) == 0
+
+    eng = PerlinEngine(
+        load_index(spark, root), QueryPipeline(text_spec=spec)
+    )
+    got = {r["doc_id"] for r in eng.search("alpha", k=None).collect()}
+    assert got == {3, 4, 5}

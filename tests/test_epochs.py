@@ -10,6 +10,7 @@ from perlin_spark import (
     QueryPipeline,
     build_epoch,
     build_index,
+    compact_epochs,
     delete_docs,
     list_epochs,
     load_index,
@@ -434,3 +435,23 @@ def test_delete_docs_job(spark, tmp_path, capsys):
     )
     got = {r["doc_id"] for r in eng.search("alpha", k=None).collect()}
     assert got == {3, 4, 5}
+
+
+def test_tombstones_survive_compaction(spark, tmp_path):
+    """compact_epochs folds epochs, not deletes: doc_ids are preserved by
+    the byte-splice, _deletes sits outside the epoch dirs, and the
+    compacted index still excludes the tombstoned docs."""
+    root = str(tmp_path / "idx")
+    spec = FieldSpec(field="text", source="text")
+    for lo in (0, 4):  # two epochs so compaction has work to do
+        corpus = spark.createDataFrame(
+            [(i, f"alpha w{i}") for i in range(lo, lo + 4)],
+            "doc_id long, text string",
+        )
+        build_epoch(spark, corpus, [spec], root, n_shards=1, buckets=2)
+
+    delete_docs(spark, root, [1, 5])
+    assert compact_epochs(spark, root) == 2
+    eng = PerlinEngine(load_index(spark, root), QueryPipeline(text_spec=spec))
+    got = {r["doc_id"] for r in eng.search("alpha", k=None).collect()}
+    assert got == {0, 2, 3, 4, 6, 7}

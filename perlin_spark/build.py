@@ -263,7 +263,10 @@ class IndexData:
         if self._deleted_arr is None:
             import numpy as np
 
-            n = self.deleted.count()
+            # distinct FIRST: idempotent re-deletes append duplicate ids,
+            # which must neither inflate the cap check nor the closure
+            dd = self.deleted.select("doc_id").distinct()
+            n = dd.count()
             if n == 0:
                 self._deleted_arr = False
             elif n > self.DELETED_CLOSURE_MAX:
@@ -274,9 +277,8 @@ class IndexData:
                     "instead of filtering at query time"
                 )
             else:
-                ids = self.deleted.select("doc_id").distinct().collect()
                 self._deleted_arr = np.sort(
-                    np.array([r["doc_id"] for r in ids], dtype=np.int64)
+                    np.array([r["doc_id"] for r in dd.collect()], dtype=np.int64)
                 )
         return None if self._deleted_arr is False else self._deleted_arr
 

@@ -58,6 +58,12 @@ QUERY_REPS = 5
 PROBE_MB = 128
 HEALTHY_MBPS = float(os.environ.get("SPARK_GRAFT_FAULT_HEALTHY_MBPS", "900"))
 MAX_AWAIT_S = float(os.environ.get("SPARK_GRAFT_FAULT_MAX_AWAIT", "300"))
+#: the query sections get their OWN, larger wait pool: r4's artifact failed
+#: the p95 gate because the builds had exhausted the single shared 300 s
+#: budget and the queries then ran on a ~11 MB/s host.  The p95 gate is
+#: the headline number — it gets a mandatory probe gate that does not
+#: compete with the build sections for refill time.
+QUERY_AWAIT_S = float(os.environ.get("SPARK_GRAFT_QUERY_MAX_AWAIT", "600"))
 _PROBE_SRC: bytes | None = None
 
 
@@ -112,7 +118,8 @@ def main() -> None:
     times: dict[str, float] = {}
     t_total0 = time.perf_counter()
     sleep_total = 0.0
-    await_spent = 0.0
+    await_spent = {"global": 0.0, "query": 0.0}
+    await_caps = {"global": MAX_AWAIT_S, "query": QUERY_AWAIT_S}
     probe_log: dict[str, int] = {}
     samples_log: dict[str, list[float]] = {}
 
@@ -123,16 +130,17 @@ def main() -> None:
         sleep_total += sec
         time.sleep(sec)
 
-    def await_budget(tag: str, floor: float = 5.0) -> None:
+    def await_budget(tag: str, floor: float = 5.0, pool: str = "global") -> None:
         # adaptive replacement for fixed cooldowns: sleep only until the
-        # host's fresh-page throughput recovers (global cap MAX_AWAIT_S),
-        # and record the probe value the timed section actually ran under
-        nonlocal await_spent
+        # host's fresh-page throughput recovers, capped per POOL — the
+        # query sections' mandatory gate ("query" pool) cannot be starved
+        # by refill time the build sections already consumed (the r4
+        # artifact's failure mode)
         cooldown(floor)
         r = fault_probe_mbps()
-        while r < HEALTHY_MBPS and await_spent < MAX_AWAIT_S:
+        while r < HEALTHY_MBPS and await_spent[pool] < await_caps[pool]:
             cooldown(20.0)
-            await_spent += 20.0
+            await_spent[pool] += 20.0
             r = fault_probe_mbps()
         probe_log[tag] = int(r)
 
@@ -165,6 +173,26 @@ def main() -> None:
         dt = time.perf_counter() - t0
         samples_log["build_documents"].append(round(dt, 3))
         times["build_documents"] = min(times["build_documents"], dt)
+
+    # --- query latency mix, documents index: runs IMMEDIATELY after its
+    # build on a MANDATORY probe gate (own pool) — the p95 headline must
+    # measure the plan, not the host's drained fault budget (r4 verdict
+    # item 2).  Untimed warmup reps per query: first-hit cost is
+    # vocab-cache fill + broadcast build, paid once per term.
+    spark.sparkContext._jvm.System.gc()
+    await_budget("before_doc_queries", floor=5.0, pool="query")
+    samples: list[float] = []
+    for name, q, filters in QUERY_MIX:
+        for _ in range(3):  # settle JIT/codegen/worker reuse (see BENCH.md)
+            eng.search(q, k=10, filters=list(filters)).collect()
+        best = None
+        for _ in range(QUERY_REPS):
+            t0 = time.perf_counter()
+            eng.search(q, k=10, filters=list(filters)).collect()
+            dt = time.perf_counter() - t0
+            samples.append(dt)
+            best = dt if best is None else min(best, dt)
+        times[f"q_{name}"] = best
 
     # --- build: synthetic code corpus (input_hint schema) -------------------
     code = synth_code_corpus(spark, CODE_ROWS).repartition(CPUS)
@@ -199,22 +227,9 @@ def main() -> None:
         times["build_documents"] + times["build_code"]
     )
 
-    # --- query latency mix (untimed warmup reps per query: first-hit cost
-    # is vocab-cache fill + broadcast build, paid once per term) -----------
+    # --- query latency mix, code index: same mandatory gate (own pool) ------
     spark.sparkContext._jvm.System.gc()
-    await_budget("before_queries", floor=5.0)
-    samples: list[float] = []
-    for name, q, filters in QUERY_MIX:
-        for _ in range(3):  # settle JIT/codegen/worker reuse (see BENCH.md)
-            eng.search(q, k=10, filters=list(filters)).collect()
-        best = None
-        for _ in range(QUERY_REPS):
-            t0 = time.perf_counter()
-            eng.search(q, k=10, filters=list(filters)).collect()
-            dt = time.perf_counter() - t0
-            samples.append(dt)
-            best = dt if best is None else min(best, dt)
-        times[f"q_{name}"] = best
+    await_budget("before_code_queries", floor=5.0, pool="query")
     for name, q in [("code_and", "return import"), ("code_id", "HTTPServer")]:
         for _ in range(3):
             code_eng.search(q, k=10).collect()
@@ -345,11 +360,21 @@ def main() -> None:
         # self-explaining instead of silently 2x off (r3 verdict item 1)
         "host_fault_probe_mbps": probe_log,
         "build_samples": samples_log,
-        "await_budget_spent_s": round(await_spent, 1),
+        "await_budget_spent_s": round(await_spent["global"], 1),
         # True when the adaptive wait budget ran out while the probe was
         # still below HEALTHY_MBPS — the run proceeded on a host that
         # never recovered, so slow sections are host state, not plan
-        "await_cap_hit": await_spent >= MAX_AWAIT_S,
+        "await_cap_hit": await_spent["global"] >= MAX_AWAIT_S,
+        # the query sections' MANDATORY probe gate (its own pool, r4
+        # verdict item 2): the probe values the p95 actually ran under
+        "query_gate": {
+            "probe_mbps": {
+                k: v for k, v in probe_log.items()
+                if k in ("before_doc_queries", "before_code_queries")
+            },
+            "await_spent_s": round(await_spent["query"], 1),
+            "cap_hit": await_spent["query"] >= QUERY_AWAIT_S,
+        },
     }
     # attach the latest N-vs-4N scaling evidence (scripts/scaling_bench.py)
     sr = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_result.json")

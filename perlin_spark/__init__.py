@@ -11,7 +11,16 @@ the relational work and the data-level algorithms stay vectorized.
 from .analysis import FieldSpec, QueryPipeline, QuerySpec
 from .build import IndexData, assign_doc_ids, build_index
 from .engine import May, Must, MustNot, PerlinEngine
-from .epochs import add_field, build_epoch, compact_epochs, delete_docs, list_epochs, load_index
+from .epochs import (
+    add_field,
+    add_positions,
+    build_epoch,
+    compact_epochs,
+    delete_docs,
+    list_epochs,
+    load_index,
+    refresh_deletes,
+)
 from .progress import ProgressEvent, report_progress
 from .hierarchy import Hierarchy
 
@@ -28,7 +37,9 @@ __all__ = [
     "May",
     "Hierarchy",
     "add_field",
+    "add_positions",
     "delete_docs",
+    "refresh_deletes",
     "compact_epochs",
     "ProgressEvent",
     "report_progress",

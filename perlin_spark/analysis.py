@@ -291,6 +291,81 @@ def analyze_record_batch(
     return out
 
 
+def analyze_record_batch_positions(
+    batch: pa.RecordBatch, specs: list[FieldSpec], doc_id_col: str = "doc_id"
+) -> list[tuple[str, np.ndarray, np.ndarray, pa.Array, np.ndarray, np.ndarray]]:
+    """Occurrence-level twin of :func:`analyze_record_batch` for the
+    positional sidecar: returns
+    ``[(field_name, doc_pos, term_codes, term_dict, tf, positions), ...]``
+    where rows are the same term-major (term_code, doc_pos) posting
+    groups, and ``positions`` is the concatenation — aligned with the
+    postings' doc order, ``tf`` values per doc — of each occurrence's
+    0-based rank within the document's SURVIVING token stream for that
+    field (the stream phrase adjacency is defined over: stopword-dropped
+    and number-routed tokens do not occupy a slot, exactly matching the
+    re-analysis semantics of ``PerlinEngine.search_phrase``).
+
+    Same vectorization discipline as the tf analyzer: Arrow tokenize +
+    flatten, normalization over unique terms only, numpy sorts — no
+    per-occurrence Python."""
+    names = set(batch.schema.names)
+    out: list[tuple[str, np.ndarray, np.ndarray, pa.Array, np.ndarray, np.ndarray]] = []
+    for spec in specs:
+        if spec.source not in names:
+            continue
+        lists = _split_arrow(batch.column(spec.source), spec.tokenizer)
+        flat = pc.list_flatten(lists)
+        if len(flat) == 0:
+            continue
+        doc_pos_all = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        uniq = pd.Series(denc.dictionary.to_pandas(), dtype=object)
+
+        for field_name, mask, final_terms in route_unique_terms(uniq, spec):
+            if not mask.any():
+                continue
+            final_codes, final_uniques = pd.factorize(final_terms.to_numpy())
+            remap = np.full(len(uniq), -1, dtype=np.int64)
+            remap[np.flatnonzero(mask)] = final_codes
+            occ_codes = remap[codes]
+            occ_mask = occ_codes >= 0
+            if not occ_mask.any():
+                continue
+            t = occ_codes[occ_mask]
+            d = doc_pos_all[occ_mask].astype(np.int64, copy=False)
+            # positions: rank within the doc's surviving stream — the flat
+            # token order is doc-major and in-document order, so d is
+            # non-decreasing and rank = index - start of the doc's run
+            n_occ = t.size
+            newdoc = np.empty(n_occ, dtype=bool)
+            newdoc[0] = True
+            newdoc[1:] = d[1:] != d[:-1]
+            idx = np.arange(n_occ, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(newdoc, idx, 0))
+            pos = idx - run_start
+            # term-major regroup: (term, doc, pos ascending) — pos order
+            # within (term, doc) is original order, kept by the stable sort
+            order = np.lexsort((pos, d, t))
+            t, d, pos = t[order], d[order], pos[order]
+            change = np.empty(n_occ, dtype=bool)
+            change[0] = True
+            change[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+            starts = np.flatnonzero(change)
+            tfs = np.diff(np.append(starts, n_occ))
+            out.append(
+                (
+                    field_name,
+                    d[starts],
+                    t[starts],
+                    pa.array(final_uniques, type=pa.string()),
+                    tfs.astype(np.int64),
+                    pos,
+                )
+            )
+    return out
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     """Analyzed query: per-field term groups plus chained filters.

@@ -224,6 +224,20 @@ class IndexData:
     #: BM25 stats stay as built until a physical fold)
     deleted: DataFrame | None = None
     _deleted_arr: object | None = None
+    #: optional positional sidecar (field, term, shard, df, blob, pos_blob
+    #: [, bucket]) — see perlin_spark.positions; BM25 never reads it,
+    #: phrase search reads ONLY it (no corpus text scan)
+    positions: DataFrame | None = None
+    #: SymSpell deletion-neighborhood table (field, delkey, term) — lazily
+    #: derived from the vocabulary (or attached from a committed table);
+    #: fuzzy expansion probes it by the QUERY's deletion keys instead of
+    #: running levenshtein over a vocabulary length band (r4 verdict #5)
+    _symspell: DataFrame | None = None
+    #: once-per-index broadcast of the sorted tombstone array — the scorer
+    #: references the broadcast instead of closure-capturing the array, so
+    #: a cap-sized (1M id, ~8MB) tombstone set ships to each executor once
+    #: per index, not once per task per query (r4 ADVICE)
+    _deleted_bc: object | None = None
 
     def cache(self) -> "IndexData":
         # serving layout: one repartition at cache-materialization time
@@ -233,16 +247,26 @@ class IndexData:
             self._shard_layout = True
         for df in (self.postings, self.vocabulary, self.docs, self.doc_lens, self.stats):
             df.cache()
+        if self.positions is not None:
+            self.positions.cache()
         return self
 
     def unpersist(self) -> None:
         for df in (self.postings, self.vocabulary, self.docs, self.doc_lens, self.stats):
             df.unpersist()
+        if self.positions is not None:
+            self.positions.unpersist()
+        if self._symspell is not None:
+            self._symspell.unpersist()
+            self._symspell = None
         for df in self._persisted or ():
             df.unpersist()
         if self._dl_bc not in (None, False):
             self._dl_bc.unpersist()
             self._dl_bc = None
+        if self._deleted_bc is not None:
+            self._deleted_bc.unpersist()
+            self._deleted_bc = None
 
     #: tombstone sets above this ride no closure: at that point deletes
     #: are corpus-scale and the answer is a physical fold, not a filter
@@ -252,6 +276,9 @@ class IndexData:
         """Install (or clear) the tombstone set for this index handle."""
         self.deleted = df
         self._deleted_arr = None
+        if self._deleted_bc is not None:
+            self._deleted_bc.unpersist()
+            self._deleted_bc = None
 
     def deleted_array(self):
         """Driver-cached sorted int64 array of tombstoned doc_ids (None
@@ -272,8 +299,8 @@ class IndexData:
             elif n > self.DELETED_CLOSURE_MAX:
                 raise ValueError(
                     f"{n} pending tombstones exceed DELETED_CLOSURE_MAX "
-                    f"({self.DELETED_CLOSURE_MAX}); fold them physically "
-                    "(rebuild/compact the index without the deleted docs) "
+                    f"({self.DELETED_CLOSURE_MAX}); fold them physically — "
+                    "compact_epochs(spark, root, fold_deletes=True) — "
                     "instead of filtering at query time"
                 )
             else:
@@ -281,6 +308,36 @@ class IndexData:
                     np.array([r["doc_id"] for r in dd.collect()], dtype=np.int64)
                 )
         return None if self._deleted_arr is False else self._deleted_arr
+
+    #: deletion-neighborhood depth the derived table covers (SymSpell:
+    #: lev(A,B) <= e  =>  D_e(A) ∩ D_e(B) != ∅, so probing by the query's
+    #: own <= e deletions has FULL recall; candidates are then verified)
+    SYMSPELL_MAX_EDITS = 2
+
+    def symspell(self) -> DataFrame:
+        """The (field, delkey, term) deletion-neighborhood side table,
+        derived once per handle from the vocabulary (pure JVM explode +
+        substring — no UDF) and persisted; committed indexes built with
+        ``build_epoch(symspell=True)`` attach the stored table instead."""
+        if self._symspell is None:
+            self._symspell = derive_symspell(
+                self.vocabulary, self.SYMSPELL_MAX_EDITS
+            ).persist()
+        return self._symspell
+
+    def deleted_broadcast(self):
+        """The tombstone array as a Spark broadcast, created ONCE per
+        index handle (same economics as :meth:`dl_broadcast`): the scorer
+        pickles only the broadcast handle into its UDF, so executors
+        fetch the array from the block manager once instead of receiving
+        it in every task's closure — at the 1M-id cap that is ~8MB per
+        task per query saved.  Returns None when there are no tombstones."""
+        arr = self.deleted_array()
+        if arr is None:
+            return None
+        if self._deleted_bc is None:
+            self._deleted_bc = self.spark.sparkContext.broadcast(arr)
+        return self._deleted_bc
 
     #: dl blobs above this total size stay on the join path (a broadcast
     #: this large would strain the driver; the blobs are ~2 bytes/doc, so
@@ -374,6 +431,42 @@ class IndexData:
             .orderBy(F.desc("df"), F.asc("term"))
         )
         return out.limit(k) if k is not None else out
+
+
+def derive_symspell(vocabulary: DataFrame, max_edits: int = 2) -> DataFrame:
+    """(field, delkey, term): every vocabulary term keyed by each string
+    reachable with <= ``max_edits`` single-character deletions (including
+    itself).  SymSpell's precomputed half of the symmetric-delete scheme:
+    at query time the OTHER half (the query term's deletions — a tiny
+    driver-side set) probes ``delkey`` with an IN predicate that reaches
+    the scan, so fuzzy expansion never runs edit distance over the
+    vocabulary — only over the probed candidates.  Size is
+    |vocab| * O(len^max_edits) short strings — a vocabulary-scale table,
+    orders of magnitude below the corpus.  Everything here is JVM-side
+    (explode/substring/concat): no Python in the derivation."""
+    out = vocabulary.select("field", "term").withColumn("delkey", F.col("term"))
+    cur = out
+    for _ in range(max_edits):
+        cur = (
+            cur.filter(F.length("delkey") > 0)
+            .select(
+                "field",
+                "term",
+                F.expr("explode(sequence(1, length(delkey)))").alias("i"),
+                "delkey",
+            )
+            .select(
+                "field",
+                "term",
+                F.expr(
+                    "concat(substring(delkey, 1, i - 1), "
+                    "substring(delkey, i + 1, length(delkey)))"
+                ).alias("delkey"),
+            )
+            .dropDuplicates(["field", "term", "delkey"])
+        )
+        out = out.unionByName(cur.select("field", "term", "delkey"))
+    return out.dropDuplicates(["field", "delkey", "term"])
 
 
 def _encode_partition(block_size: int):
@@ -761,6 +854,7 @@ def build_index(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     epoch: int = 0,
+    positions: bool = False,
 ) -> IndexData:
     """Build one index epoch over ``corpus``.
 
@@ -768,7 +862,9 @@ def build_index(
     ``content_col`` adds the per-row sha256 invariant column
     (BASELINE.json ``input_hint``).  ``n_shards=None`` derives the shard
     count from :data:`SHARD_DOC_BUDGET` so scorer memory stays bounded at
-    any corpus size.
+    any corpus size.  ``positions=True`` additionally builds the
+    positional sidecar (``perlin_spark.positions``) with the same shard
+    geometry, enabling index-only phrase search.
     """
     persisted: list = []
     if doc_id_col is None:
@@ -807,6 +903,13 @@ def build_index(
         block_size=block_size, k1=k1, b=b,
     )
     idx._persisted = persisted
+    if positions:
+        from .positions import build_positions
+
+        idx.positions = build_positions(
+            corpus, specs, chunk, 0,
+            shuffle_parts=shuffle_parts, block_size=block_size,
+        )
     return idx
 
 

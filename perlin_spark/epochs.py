@@ -126,6 +126,8 @@ def build_epoch(
     num_partitions: int | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    positions: bool = False,
+    symspell: bool = False,
     extra_manifest: dict | None = None,
     fail_after_batches: int | None = None,  # test hook: simulate a kill
 ) -> int:
@@ -215,6 +217,8 @@ def build_epoch(
             "specs": [asdict(s) for s in specs],
             "n_docs": n_docs,
             "max_doc_id": max_id,
+            "positions": bool(positions),
+            "symspell": bool(symspell),
             "buckets": {str(i): {"status": "pending"} for i in range(buckets)},
         }
         if extra_manifest:
@@ -271,20 +275,27 @@ def build_epoch(
                 .option("partitionOverwriteMode", "dynamic")
                 .save(os.path.join(edir, "postings"))
             )
-            # lineage metrics per completed bucket
-            written = spark.read.parquet(os.path.join(edir, "postings")).filter(
-                F.col("bucket").isin(batch)
-            )
-            lineage = {
-                int(r["bucket"]): r
-                for r in written.groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.countDistinct("term").alias("terms"),
-                    F.sum("df").alias("postings"),
+            # lineage metrics per completed bucket.  Explicit schema + dir
+            # check: a batch whose buckets held no terms writes nothing at
+            # all (dynamic overwrite skips empty partitions), which must
+            # record zeros, not crash the commit
+            pq_dir = os.path.join(edir, "postings")
+            if os.path.isdir(pq_dir):
+                written = spark.read.schema(part.schema).parquet(pq_dir).filter(
+                    F.col("bucket").isin(batch)
                 )
-                .collect()
-            }
+                lineage = {
+                    int(r["bucket"]): r
+                    for r in written.groupBy("bucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("rows"),
+                        F.countDistinct("term").alias("terms"),
+                        F.sum("df").alias("postings"),
+                    )
+                    .collect()
+                }
+            else:
+                lineage = {}
             for bkt in batch:
                 r = lineage.get(bkt)
                 manifest["buckets"][str(bkt)] = {
@@ -318,6 +329,40 @@ def build_epoch(
             .write.mode("overwrite")
             .parquet(dl_dir)
         )
+
+    # --- stage 3b: positional sidecar (opt-in) --------------------------------
+    # bucketed exactly like postings so phrase queries prune the same way;
+    # the manifest flag (not the call arg) governs resume, like every param
+    if manifest.get("positions"):
+        pos_dir = os.path.join(edir, "positions")
+        if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+            from .positions import build_positions
+
+            pos = build_positions(
+                docs, specs, chunk, min_id,
+                shuffle_parts=num_partitions, block_size=block_size,
+            )
+            (
+                pos.withColumn(
+                    "bucket", F.pmod(F.hash("field", "term"), F.lit(buckets))
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(pos_dir)
+            )
+
+    # --- stage 3c: SymSpell deletion-neighborhood table (opt-in) --------------
+    # derived from THIS epoch's committed vocabulary — the r4 verdict's
+    # "build it at commit time next to the vocabulary"
+    if manifest.get("symspell"):
+        sym_dir = os.path.join(edir, "symspell")
+        if not os.path.exists(os.path.join(sym_dir, "_SUCCESS")):
+            from .build import IndexData as _ID
+            from .build import derive_symspell
+
+            derive_symspell(
+                spark.read.parquet(vocab_dir), _ID.SYMSPELL_MAX_EDITS
+            ).write.mode("overwrite").parquet(sym_dir)
 
     # --- stage 4: commit ------------------------------------------------------
     manifest["doc_count_total"] = int(manifest["n_docs"])
@@ -461,6 +506,10 @@ def add_field(
 
 DELETES_DIR = "_deletes"
 
+#: fold-time tombstone broadcast cap (~8 bytes/id -> ~400 MB at the cap);
+#: past it, rebuilding from the filtered docs table is the distributed path
+FOLD_DELETES_MAX = 50_000_000
+
 
 def delete_docs(spark: SparkSession, root: str, doc_ids) -> int:
     """Tombstone documents in a persisted index (the delete lifecycle a
@@ -472,9 +521,11 @@ def delete_docs(spark: SparkSession, root: str, doc_ids) -> int:
     scoring paths, while BM25 statistics (df, avgdl, n_docs) stay as
     built until a physical fold — standard Lucene deleted-docs semantics.
     Tombstones survive ``compact_epochs`` (it folds epochs, not deletes)
-    and are idempotent (duplicate ids collapse at load).  Accepts a
-    list of ids or a DataFrame with a ``doc_id`` column; returns the
-    number of distinct ids written by THIS call."""
+    and are idempotent (duplicate ids collapse at load).  Visibility:
+    an IndexData loaded BEFORE this call keeps serving the docs until it
+    reloads or calls :func:`refresh_deletes` (reader-reopen semantics).
+    Accepts a list of ids or a DataFrame with a ``doc_id`` column;
+    returns the number of distinct ids written by THIS call."""
     ddir = os.path.join(root, DELETES_DIR)
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
@@ -486,6 +537,92 @@ def delete_docs(spark: SparkSession, root: str, doc_ids) -> int:
     if n:
         df.coalesce(1).write.mode("append").parquet(ddir)
     return n
+
+
+def refresh_deletes(spark: SparkSession, root: str, idx: IndexData) -> IndexData:
+    """Re-read ``root/_deletes`` into an ALREADY-LOADED index handle.
+
+    ``load_index`` installs tombstones once, at load time, and the handle
+    caches the collected id array (plus its broadcast) — so a long-lived
+    serving handle keeps serving docs deleted AFTER it was loaded until it
+    either reloads or calls this.  A serving process should call
+    ``refresh_deletes`` after issuing ``delete_docs``, or on whatever
+    visibility cadence its delete SLA requires (the Lucene analogue:
+    deletes become visible when the reader reopens).  Clears the handle's
+    tombstones when the dir has been removed (e.g. by a physical fold)."""
+    ddir = os.path.join(root, DELETES_DIR)
+    if os.path.isdir(ddir):
+        idx.set_deleted(spark.read.parquet(ddir).select("doc_id").distinct())
+    else:
+        idx.set_deleted(None)
+    return idx
+
+
+def add_positions(
+    spark: SparkSession, root: str, *, num_partitions: int | None = None
+) -> list[int]:
+    """Backfill the positional sidecar onto a LIVE persisted index, one
+    epoch at a time (each epoch's docs re-analyzed with ITS manifest
+    specs and shard geometry — never a whole-corpus rebuild).  Idempotent;
+    returns the epochs written.  After every epoch carries positions,
+    ``load_index`` attaches the sidecar and phrase search switches to the
+    index-only path automatically."""
+    from .build import field_names as _field_names
+    from .positions import merge_position_partials, tokenize_corpus_positions
+
+    epochs = list_epochs(root)
+    if not epochs:
+        raise FileNotFoundError(f"no committed epochs under {root}")
+    shuffle_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    written: list[int] = []
+    for e in epochs:
+        edir = _epoch_dir(root, e)
+        m = _read_manifest(edir)
+        pos_dir = os.path.join(edir, "positions")
+        if m.get("positions") and os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+            continue
+        specs = [
+            FieldSpec(**{k: tuple(v) if k == "stopwords" else v for k, v in s.items()})
+            for s in m.get("specs", [])
+        ]
+        p = m["params"]
+        block_size = int(p["block_size"])
+        if m.get("field_only"):
+            # field-only epochs re-analyze the base docs; each doc keeps
+            # its ORIGINAL epoch's shard mapping (the add_field contract)
+            partials = None
+            for se in epochs:
+                sm = _read_manifest(_epoch_dir(root, se))
+                if sm.get("field_only"):
+                    continue
+                sp = sm["params"]
+                docs_e = spark.read.parquet(os.path.join(_epoch_dir(root, se), "docs"))
+                fe = tokenize_corpus_positions(
+                    docs_e, specs, int(sp["chunk"]), int(sp["min_doc_id"]), block_size
+                )
+                partials = fe if partials is None else partials.unionByName(fe)
+        else:
+            docs = spark.read.parquet(os.path.join(edir, "docs"))
+            partials = tokenize_corpus_positions(
+                docs, specs, int(p["chunk"]), int(p["min_doc_id"]), block_size
+            )
+        pos = merge_position_partials(
+            partials, _field_names(specs), shuffle_parts, block_size
+        )
+        (
+            pos.withColumn(
+                "bucket", F.pmod(F.hash("field", "term"), F.lit(int(p["buckets"])))
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(pos_dir)
+        )
+        m["positions"] = True
+        _write_manifest(edir, m)
+        written.append(e)
+    return written
 
 
 def load_index(
@@ -551,6 +688,27 @@ def load_index(
         vocab_source=vocab_source,
     )
     idx.buckets = int(params["buckets"])
+    # positional sidecar: attach only when EVERY epoch carries it (a
+    # partial sidecar would silently miss phrases in uncovered epochs —
+    # backfill with add_positions first)
+    pos_dirs = [os.path.join(_epoch_dir(root, e), "positions") for e in epochs]
+    if all(
+        _read_manifest(_epoch_dir(root, e)).get("positions") for e in epochs
+    ) and all(os.path.isdir(p) for p in pos_dirs):
+        pos = None
+        for p in pos_dirs:
+            df = spark.read.parquet(p)
+            pos = df if pos is None else pos.unionByName(df)
+        idx.positions = pos
+    sym_dirs = [os.path.join(_epoch_dir(root, e), "symspell") for e in epochs]
+    if all(
+        _read_manifest(_epoch_dir(root, e)).get("symspell") for e in epochs
+    ) and all(os.path.isdir(p) for p in sym_dirs):
+        sym = None
+        for p in sym_dirs:
+            df = spark.read.parquet(p)
+            sym = df if sym is None else sym.unionByName(df)
+        idx._symspell = sym
     ddir = os.path.join(root, DELETES_DIR)
     if os.path.isdir(ddir):
         idx.set_deleted(spark.read.parquet(ddir).select("doc_id").distinct())
@@ -563,8 +721,19 @@ def compact_epochs(
     *,
     num_partitions: int | None = None,
     delete_old: bool = True,
+    fold_deletes: bool = False,
 ) -> int | None:
     """Merge ALL committed epochs into one consolidated epoch.
+
+    ``fold_deletes=True`` additionally PHYSICALLY drops tombstoned docs
+    (``root/_deletes``) during the merge — the remedy the query-time
+    filter's 1M cap prescribes: every posting group is decoded, filtered
+    to survivors, and re-encoded (doc-length groups included, so df,
+    avgdl, mindl, and n_docs all equal a from-scratch build of the
+    surviving corpus — stale-stats semantics END here), the docs table
+    drops the rows, and ``_deletes`` is removed on commit.  Doc ids are
+    NOT reassigned.  With tombstones pending, a single epoch is also
+    accepted (the fold itself is the work).
 
     Streaming ingest (one epoch per micro-batch) and repeated
     ``build_epoch`` calls accumulate many small epochs; every query then
@@ -583,10 +752,33 @@ def compact_epochs(
     epoch id, or None when there is nothing to compact."""
     import shutil
 
+    import numpy as np
     import pandas as pd
 
+    deleted_bc = None
+    ddir = os.path.join(root, DELETES_DIR)
+    if fold_deletes and os.path.isdir(ddir):
+        ids = spark.read.parquet(ddir).select("doc_id").distinct()
+        # cap-before-collect (the repo-wide rule): one scalar count first.
+        # The fold broadcast is sized for executor memory (~8 bytes/id);
+        # beyond it the honest path is a rebuild from the filtered docs
+        # table, which is fully distributed.
+        n_del = ids.count()
+        if n_del > FOLD_DELETES_MAX:
+            raise ValueError(
+                f"{n_del} tombstones exceed FOLD_DELETES_MAX "
+                f"({FOLD_DELETES_MAX}); at that scale rebuild the index "
+                "from the surviving docs (build_epoch over docs anti-join "
+                "_deletes) instead of folding in place"
+            )
+        if n_del:
+            arr = np.sort(
+                np.array([r["doc_id"] for r in ids.collect()], dtype=np.int64)
+            )
+            deleted_bc = spark.sparkContext.broadcast(arr)
+
     epochs = list_epochs(root)
-    if len(epochs) < 2:
+    if len(epochs) < 2 and deleted_bc is None:
         return None
     manifests = {e: _read_manifest(_epoch_dir(root, e)) for e in epochs}
     base = manifests[epochs[0]]["params"]
@@ -650,24 +842,43 @@ def compact_epochs(
         def merge(pdf):
             merged_rows = []
             for (bkt, field, term, shard), grp in pdf.groupby(gkeys, sort=False):
-                if len(grp) == 1:
+                if deleted_bc is None and len(grp) == 1:
                     merged_rows.append(grp.drop(columns=["epoch"]))
                     continue
                 grp = grp.sort_values("epoch")
-                blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
+                if deleted_bc is None:
+                    blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
+                    df_out = int(grp["df"].sum())
+                    mtf_out = int(grp["max_tf"].max())
+                else:
+                    # physical fold: decode, drop tombstoned docs, re-encode
+                    # — df/max_tf recomputed from survivors, so derived
+                    # stats equal a from-scratch build of the live corpus
+                    parts = [codec.decode_postings(bytes(b)) for b in grp["blob"]]
+                    d = np.concatenate([p[0] for p in parts])
+                    t = np.concatenate([p[1] for p in parts])
+                    keep = np.isin(d, deleted_bc.value, invert=True)
+                    d, t = d[keep], t[keep]
+                    if d.size == 0:
+                        continue  # every posting deleted: drop the row
+                    blob = codec.encode_postings(d, t, int(base["block_size"]))
+                    df_out = int(d.size)
+                    mtf_out = int(t.max())
                 merged_rows.append(
                     pd.DataFrame(
                         {
                             "field": [field],
                             "term": [term],
                             "shard": [shard],
-                            "df": [int(grp["df"].sum())],
-                            "max_tf": [int(grp["max_tf"].max())],
+                            "df": [df_out],
+                            "max_tf": [mtf_out],
                             "blob": [blob],
                             "bucket": [bkt],
                         }
                     )
                 )
+            if not merged_rows:
+                return pd.DataFrame({c: [] for c in out_cols})
             return pd.concat(merged_rows, ignore_index=True)[out_cols]
 
         carry = None
@@ -721,7 +932,119 @@ def compact_epochs(
             continue  # field epochs reuse the base docs
         d = spark.read.parquet(os.path.join(_epoch_dir(root, e), "docs"))
         docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
+    if deleted_bc is not None:
+        dels = spark.read.parquet(ddir).select("doc_id").distinct()
+        docs = docs.join(F.broadcast(dels), "doc_id", "left_anti")
     docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+    n_docs_out = (
+        spark.read.parquet(os.path.join(tmp, "docs")).count()
+        if deleted_bc is not None
+        else sum(int(manifests[e]["n_docs"]) for e in epochs)
+    )
+
+    # --- positional sidecar: same splice, position payloads concatenate ----
+    has_pos = [bool(manifests[e].get("positions")) for e in epochs]
+    if any(has_pos) and not all(has_pos):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            "some epochs carry the positional sidecar and some do not; "
+            "run add_positions(spark, root) to backfill before compacting"
+        )
+    if all(has_pos):
+        pparts = None
+        for e in epochs:
+            p = spark.read.parquet(
+                os.path.join(_epoch_dir(root, e), "positions")
+            ).withColumn("epoch", F.lit(e))
+            pparts = p if pparts is None else pparts.unionByName(p)
+        pos_schema = pparts.drop("epoch").schema
+        pos_cols = [f.name for f in pos_schema.fields]
+
+        def splice_pos(batches):
+            import numpy as np
+
+            def merge(pdf):
+                from perlin_spark.positions import decode_positions, encode_positions
+
+                merged_rows = []
+                for (bkt, field, term, shard), grp in pdf.groupby(gkeys, sort=False):
+                    if deleted_bc is None and len(grp) == 1:
+                        merged_rows.append(grp.drop(columns=["epoch"]))
+                        continue
+                    grp = grp.sort_values("epoch")
+                    if deleted_bc is None:
+                        blob = codec.splice_blobs([bytes(b) for b in grp["blob"]])
+                        pos_blob = b"".join(bytes(b) for b in grp["pos_blob"])
+                        df_out = int(grp["df"].sum())
+                    else:
+                        parts = [codec.decode_postings(bytes(b)) for b in grp["blob"]]
+                        ppos = [
+                            decode_positions(bytes(pb), p[1])
+                            for pb, p in zip(grp["pos_blob"], parts)
+                        ]
+                        d = np.concatenate([p[0] for p in parts])
+                        t = np.concatenate([p[1] for p in parts])
+                        pflat = np.concatenate(ppos)
+                        keep = np.isin(d, deleted_bc.value, invert=True)
+                        if not keep.any():
+                            continue
+                        pkeep = np.repeat(keep, t)
+                        d, t, pflat = d[keep], t[keep], pflat[pkeep]
+                        blob = codec.encode_postings(d, t, int(base["block_size"]))
+                        pos_blob = encode_positions(pflat, t)
+                        df_out = int(d.size)
+                    merged_rows.append(
+                        pd.DataFrame(
+                            {
+                                "field": [field],
+                                "term": [term],
+                                "shard": [shard],
+                                "df": [df_out],
+                                "blob": [blob],
+                                "pos_blob": [pos_blob],
+                                "bucket": [bkt],
+                            }
+                        )
+                    )
+                if not merged_rows:
+                    return pd.DataFrame({c: [] for c in pos_cols})
+                return pd.concat(merged_rows, ignore_index=True)[pos_cols]
+
+            carry = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                eq = (pdf[gkeys] == pdf[gkeys].iloc[-1]).all(axis=1).to_numpy()
+                suffix = len(pdf) if eq.all() else int(np.argmin(eq[::-1]))
+                carry = pdf.iloc[len(pdf) - suffix:]
+                body = pdf.iloc[: len(pdf) - suffix]
+                if len(body):
+                    yield merge(body)
+            if carry is not None and len(carry):
+                yield merge(carry)
+
+        (
+            pparts.repartition(shuffle_parts, "field", "term")
+            .sortWithinPartitions("bucket", "field", "term", "shard", "epoch")
+            .mapInPandas(splice_pos, pos_schema)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(tmp, "positions"))
+        )
+
+    # --- SymSpell table: derived data — re-derive from the compacted
+    # vocabulary whenever any input epoch carried it
+    has_sym = any(manifests[e].get("symspell") for e in epochs)
+    if has_sym:
+        from .build import IndexData as _ID
+        from .build import derive_symspell
+
+        derive_symspell(
+            spark.read.parquet(os.path.join(tmp, "vocabulary")),
+            _ID.SYMSPELL_MAX_EDITS,
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "symspell"))
 
     lineage = {
         str(int(r["bucket"])): {
@@ -755,10 +1078,12 @@ def compact_epochs(
         "committed_unix": int(time.time()),
         "params": params_out,
         "specs": specs,
-        "n_docs": sum(int(manifests[e]["n_docs"]) for e in epochs),
+        "n_docs": n_docs_out,
         "max_doc_id": int(manifests[epochs[-1]]["max_doc_id"]),
+        "positions": all(has_pos),
+        "symspell": has_sym,
         "buckets": lineage,
-        "doc_count_total": sum(int(manifests[e]["n_docs"]) for e in epochs),
+        "doc_count_total": n_docs_out,
         "term_count_total": sum(v["term_count"] for v in lineage.values()),
         "compacted_from": epochs,
         # replay-safety survives compaction: the streaming sink checks
@@ -781,6 +1106,12 @@ def compact_epochs(
     with open(os.path.join(tmp, SUCCESS), "w") as f:
         f.write("ok\n")
     os.replace(tmp, _epoch_dir(root, new_epoch))  # atomic commit
+    if deleted_bc is not None:
+        # tombstones are folded into the committed epoch; a crash between
+        # the rename and this rmtree is harmless (re-filtering ids that no
+        # longer exist is a no-op)
+        shutil.rmtree(ddir, ignore_errors=True)
+        deleted_bc.unpersist()
     if delete_old:
         for e in epochs:
             shutil.rmtree(_epoch_dir(root, e), ignore_errors=True)

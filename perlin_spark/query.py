@@ -116,13 +116,20 @@ class _ShardScorer:
         self.ops = ops
         self.n_groups = n_groups
         self.n_must = n_must
-        #: sorted int64 tombstone array (IndexData.deleted_array) — the
         #: live-docs filter, applied at candidate generation in BOTH
-        #: scoring paths so shard-local top-k always refills from live docs
-        self.deleted = deleted
+        #: scoring paths so shard-local top-k always refills from live
+        #: docs.  Either a sorted int64 array (tests, tiny sets) or —
+        #: the serving shape — IndexData.deleted_broadcast(), so tasks
+        #: pickle an 8-byte broadcast handle, not the array (r4 ADVICE)
+        self._deleted_src = deleted
         #: once-per-index broadcast {(field, shard): [dl blobs]}; when set,
         #: rows carry no dl_blob column (no per-query broadcast join)
         self.dl_bc = dl_bc
+
+    @property
+    def deleted(self):
+        d = self._deleted_src
+        return d.value if hasattr(d, "value") else d
 
     @staticmethod
     def _empty() -> pd.DataFrame:
@@ -536,7 +543,7 @@ def search(
 
     scorer = _ShardScorer(
         index.k1, index.b, k, prune, ops, n_groups, n_must, dl_bc=dl_bc,
-        deleted=index.deleted_array(),
+        deleted=index.deleted_broadcast(),
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -130,10 +130,12 @@ def sessionize_stream(
 
     State per user is one 4-field tuple (the open session), so the state
     store scales with ACTIVE users, not history.  Out-of-order arrivals
-    are merged if they land within the gap of the open session; events
-    older than that belong to an already-closed session and start a new
-    (late) one — the standard bounded-state trade-off; widen the gap or
-    buffer upstream for heavier disorder."""
+    are merged if they land within the gap of the open session (in
+    either direction); an event more than ``gap_s`` OLDER than the open
+    session's start belongs to an already-closed session and is emitted
+    immediately as its own single-event late session — it never
+    stretches ``sess_start`` backwards — the standard bounded-state
+    trade-off; widen the gap or buffer upstream for heavier disorder."""
     import math
 
     import numpy as np
@@ -173,6 +175,11 @@ def sessionize_stream(
                     s, v = int(secs[i]), float(vals[i])
                     if cur is None:
                         cur = (s, s, 1, v)
+                    elif cur[0] - s > gap:
+                        # beyond the gap BELOW the open session: part of an
+                        # already-closed session — emit as a late singleton,
+                        # never stretch sess_start backwards without bound
+                        closed.append(close(uid, (s, s, 1, v)))
                     elif s - cur[1] > gap:
                         closed.append(close(uid, cur))
                         cur = (s, s, 1, v)

@@ -449,3 +449,71 @@ def test_search_job_modes(spark, tmp_path, capsys):
     assert "0" not in {r[0] for r in mlt} and mlt
     snip = run("--query", "merge", "--snippets")
     assert all(len(r) == 4 for r in snip) and snip[0][2] != "0"
+
+
+def test_fuzzy_symspell_table(spark, tmp_path):
+    """Fuzzy expansion probes the deletion-neighborhood table (r4 verdict
+    item 5): full-recall parity with a band levenshtein scan, an executed
+    plan keyed by ``delkey`` (never a vocabulary-wide distance pass), the
+    band fallback beyond the table's depth, and the committed table
+    (build_epoch(symspell=True)) attaching at load."""
+    from pyspark.sql import functions as F
+
+    from perlin_spark import build_epoch, compact_epochs, load_index
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "merge sort merge"),
+            (1, "merged branches fast"),
+            (2, "merchant ledger sort"),
+            (3, "sorting is not a term here"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+
+    # parity with a reference band scan, for every probe and depth
+    vocab = eng.index.vocabulary.filter(F.col("field") == "text")
+    for probe in ("merge", "sost", "mergd", "ledgr", "qqq"):
+        for e in (1, 2):
+            want = sorted(
+                r["term"]
+                for r in vocab.select("term")
+                .filter(F.levenshtein("term", F.lit(probe)) <= e)
+                .collect()
+            )
+            got = sorted(
+                r["term"] for r in eng._fuzzy_candidates("text", probe, e).collect()
+            )
+            assert got == want, (probe, e)
+
+    # the candidate plan is keyed by delkey (IN-probe), not a vocab scan
+    cand = eng._fuzzy_candidates("text", "sost", 1)
+    cand.collect()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "delkey" in plan
+    # beyond the table depth: band fallback, no delkey
+    deep = eng._fuzzy_candidates("text", "sost", 3)
+    deep.collect()
+    assert "delkey" not in deep._jdf.queryExecution().executedPlan().toString()
+
+    # committed table: build_epoch(symspell=True) persists it and
+    # load_index attaches it (no derivation job on the query path)
+    root = str(tmp_path / "idx")
+    build_epoch(spark, corpus, [spec], root, n_shards=2, buckets=4, symspell=True)
+    idx = load_index(spark, root)
+    assert idx._symspell is not None
+    eng2 = PerlinEngine(idx, QueryPipeline(text_spec=spec))
+    assert eng2.expand_fuzzy("text", "sost", max_edits=1) == ["sort"]
+    assert eng2.expand_fuzzy("text", "merge", max_edits=1) == ["merge", "merged"]
+    # compaction re-derives the table from the compacted vocabulary
+    c2 = spark.createDataFrame([(4, "sorted output")], "doc_id long, text string")
+    build_epoch(spark, c2, [spec], root, n_shards=2, buckets=4, symspell=True)
+    assert compact_epochs(spark, root) is not None
+    idx3 = load_index(spark, root)
+    assert idx3._symspell is not None
+    eng3 = PerlinEngine(idx3, QueryPipeline(text_spec=spec))
+    assert eng3.expand_fuzzy("text", "sorted", max_edits=1) == ["sorted"]

@@ -455,3 +455,133 @@ def test_tombstones_survive_compaction(spark, tmp_path):
     eng = PerlinEngine(load_index(spark, root), QueryPipeline(text_spec=spec))
     got = {r["doc_id"] for r in eng.search("alpha", k=None).collect()}
     assert got == {0, 2, 3, 4, 6, 7}
+
+
+def test_refresh_deletes_and_broadcast(spark, tmp_path):
+    """A long-lived handle sees post-load deletes after refresh_deletes
+    (reader-reopen semantics, r4 ADVICE), the tombstone array ships as a
+    ONCE-PER-INDEX broadcast (cached handle, invalidated by set_deleted),
+    and clearing _deletes clears the filter."""
+    import shutil
+
+    from perlin_spark import refresh_deletes
+    from perlin_spark.epochs import DELETES_DIR
+
+    root = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(i, f"alpha w{i}") for i in range(8)], "doc_id long, text string"
+    )
+    spec = FieldSpec(field="text", source="text")
+    build_epoch(spark, corpus, [spec], root, n_shards=1, buckets=2)
+
+    idx = load_index(spark, root)
+    eng = PerlinEngine(idx, QueryPipeline(text_spec=spec))
+    assert len(eng.search("alpha", k=None).collect()) == 8
+
+    # deletes issued AFTER load are invisible until refresh
+    delete_docs(spark, root, [0, 3])
+    assert len(eng.search("alpha", k=None).collect()) == 8
+    refresh_deletes(spark, root, idx)
+    got = {r["doc_id"] for r in eng.search("alpha", k=None).collect()}
+    assert got == set(range(8)) - {0, 3}
+
+    # the broadcast is built once per handle and carries the sorted array
+    bc1 = idx.deleted_broadcast()
+    bc2 = idx.deleted_broadcast()
+    assert bc1 is bc2
+    assert list(bc1.value) == [0, 3]
+    # set_deleted invalidates the cached broadcast
+    refresh_deletes(spark, root, idx)
+    assert idx.deleted_broadcast() is not bc1
+
+    # removing _deletes (a physical fold) clears the filter on refresh
+    shutil.rmtree(f"{root}/{DELETES_DIR}")
+    refresh_deletes(spark, root, idx)
+    assert idx.deleted_broadcast() is None
+    assert len(eng.search("alpha", k=None).collect()) == 8
+
+
+def test_compact_fold_deletes(spark, tmp_path):
+    """delete -> compact(fold_deletes=True) physically drops the docs:
+    postings, df, doc_lens, stats, vocabulary, docs table, and scores all
+    equal a FROM-SCRATCH build of the surviving corpus; _deletes is
+    removed; the over-cap path raises before collecting (r4 verdict #9)."""
+    import os as _os
+
+    from perlin_spark import epochs as epochs_mod
+
+    rows = [(i, f"alpha common{' beta' * (i % 3 == 0)} w{i}") for i in range(12)]
+    root = str(tmp_path / "idx")
+    spec = FieldSpec(field="text", source="text")
+    corpus1 = spark.createDataFrame(rows[:6], "doc_id long, text string")
+    corpus2 = spark.createDataFrame(rows[6:], "doc_id long, text string")
+    build_epoch(spark, corpus1, [spec], root, n_shards=2, buckets=4, positions=True)
+    build_epoch(spark, corpus2, [spec], root, n_shards=2, buckets=4, positions=True)
+
+    victims = [0, 3, 7]
+    delete_docs(spark, root, victims)
+    folded = compact_epochs(spark, root, fold_deletes=True)
+    assert folded is not None
+    assert not _os.path.isdir(_os.path.join(root, epochs_mod.DELETES_DIR))
+
+    # reference: a from-scratch build of the surviving corpus (same params)
+    ref_root = str(tmp_path / "ref")
+    surviving = spark.createDataFrame(
+        [r for r in rows if r[0] not in victims], "doc_id long, text string"
+    )
+    build_epoch(spark, surviving, [spec], ref_root, n_shards=2, buckets=4,
+                positions=True)
+
+    idx = load_index(spark, root)
+    ref = load_index(spark, ref_root)
+    assert idx.deleted is None  # nothing pending after the fold
+
+    # stats (n_docs, avgdl, mindl, total_terms) identical
+    key = ["field"]
+    got_stats = {tuple(r[k] for k in key): r.asDict() for r in idx.stats.collect()}
+    want_stats = {tuple(r[k] for k in key): r.asDict() for r in ref.stats.collect()}
+    assert got_stats == want_stats
+    assert idx.n_docs == ref.n_docs == 9
+
+    # vocabulary df identical
+    got_voc = {(r["field"], r["term"]): r["df"] for r in idx.vocabulary.collect()}
+    want_voc = {(r["field"], r["term"]): r["df"] for r in ref.vocabulary.collect()}
+    assert got_voc == want_voc
+
+    # docs table holds exactly the survivors
+    assert {r["doc_id"] for r in idx.docs.select("doc_id").collect()} == {
+        r[0] for r in rows if r[0] not in victims
+    }
+
+    # scores now REFLECT the fold (no stale stats): equal to the fresh build
+    pl = QueryPipeline(text_spec=spec, text_combinator="any")
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in PerlinEngine(idx, pl).search("alpha beta", k=12).collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in PerlinEngine(ref, pl).search("alpha beta", k=12).collect()]
+    assert got == want and got
+
+    # phrase over the folded positional sidecar still works
+    ph = PerlinEngine(idx, QueryPipeline(text_spec=spec)).search_phrase(
+        "alpha common", k=12
+    )
+    assert {r["doc_id"] for r in ph.collect()} == {
+        r[0] for r in rows if r[0] not in victims
+    }
+
+    # over-cap: raises with the rebuild remedy BEFORE collecting
+    delete_docs(spark, root, [1])
+    old_cap = epochs_mod.FOLD_DELETES_MAX
+    epochs_mod.FOLD_DELETES_MAX = 0
+    try:
+        with pytest.raises(ValueError, match="rebuild"):
+            compact_epochs(spark, root, fold_deletes=True)
+    finally:
+        epochs_mod.FOLD_DELETES_MAX = old_cap
+
+    # single-epoch root with pending tombstones: fold alone is the work
+    assert compact_epochs(spark, root, fold_deletes=True) is not None
+    idx2 = load_index(spark, root)
+    assert {r["doc_id"] for r in idx2.docs.select("doc_id").collect()} == {
+        r[0] for r in rows if r[0] not in victims + [1]
+    }

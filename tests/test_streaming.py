@@ -163,6 +163,72 @@ def test_sessionize_stream_cross_batch(spark, tmp_path):
     assert len(got) == 2
 
 
+def test_sessionize_stream_late_old_event(spark, tmp_path):
+    """An event more than a gap OLDER than the open session's start is
+    emitted immediately as its own single-event late session and never
+    stretches sess_start backwards (r4 ADVICE); an old event WITHIN the
+    gap below the start still merges, extending the session's start."""
+    import os
+
+    from perlin_spark.streaming import sessionize_stream
+
+    src = tmp_path / "lsrc"
+    src.mkdir()
+
+    def ts(off):
+        return pd.Timestamp("2026-01-01 00:00:00") + pd.Timedelta(seconds=off)
+
+    base = int(pd.Timestamp("2026-01-01 00:00:00").timestamp())
+    # batch A: user 100's open session starts at 7200s
+    pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": pd.Series([ts(7200)]).astype("datetime64[us]"),
+            "user_id": [100],
+            "value": [2.0],
+        }
+    ).to_parquet(src / "a.parquet")
+    # batch B: 0s is a gap (1800s) older than the open start -> late
+    # singleton; 7000s is within-gap below the start -> merges backwards
+    pd.DataFrame(
+        {
+            "event_id": [2, 3],
+            "ts": pd.Series([ts(0), ts(7000)]).astype("datetime64[us]"),
+            "user_id": [100, 100],
+            "value": [1.0, 4.0],
+        }
+    ).to_parquet(src / "b.parquet")
+    now = os.path.getmtime(src / "a.parquet")
+    os.utime(src / "a.parquet", (now - 100, now - 100))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_late_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "lckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql("SELECT * FROM sess_late_out").collect()
+    got = {
+        (r["user_id"], r["sess_start_s"]): (
+            r["sess_end_s"], r["n_events"], r["sum_value_x100"]
+        )
+        for r in rows
+    }
+    # only the late singleton is emitted; the open session (now extended
+    # back to 7000s by the within-gap old event) stays open
+    assert got == {(100, base): (base, 1, 100)}
+
+
 def test_sessionize_stream_timeout_flush(spark, tmp_path):
     """An idle stream flushes open sessions via the processing-time
     timeout — the session closes with no closing event."""

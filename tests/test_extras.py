@@ -1074,3 +1074,27 @@ def test_mixture_sample_bands_and_consistency(spark):
     assert 0 < len(web_lo) < len(web_hi) < 100
     # default_rate applies to unlisted groups
     assert kept({}, default=1.0) == {i for i, _, _ in rows}
+
+
+def test_kmeans_build_exact_at_oracle_settings(spark, tmp_path):
+    """Guard for the ann_ivf_pq_kmeans driver oracle: the DEFAULT build
+    (build_ann_index) served at the oracle's pinned settings (nprobe=10
+    of 16 cells, rerank=200) must return EXACTLY the brute-force cosine
+    top-10 on both test corpora — a recall miss there is a real defect,
+    not oracle noise."""
+    for sf in ("0.001", "0.01"):
+        emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        path = str(tmp_path / f"km{sf}")
+        similarity.build_ann_index(emb, path, n_centroids=16)
+        got = [
+            (r["vec_id"], r["cos_x1e4"])
+            for r in similarity.ivf_pq_topk_from_cells(
+                spark, path, qv, k=10, nprobe=10, rerank=200, exclude_id=0
+            ).collect()
+        ]
+        want = [
+            (r["vec_id"], r["cos_x1e4"])
+            for r in similarity.cosine_topk(emb, qv, k=10, exclude_id=0).collect()
+        ]
+        assert got == want, sf

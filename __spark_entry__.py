@@ -361,6 +361,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 24  # pinned small so sf0.01 docs emit multi-chunk output
+CHUNK_OVERLAP = 4
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding document
+    splitter) — one narrow JVM pass, chunk text hash-gated."""
+    return textstats.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 MIXTURE_DEFAULT = 0.1
 
@@ -845,7 +857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         # -- ANN ------------------------------------------------------------
         "ann_cosine_topk": q_ann_cosine,
-        "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_pq_topk": q_ann_ivf_pq,
         "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
@@ -859,12 +870,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_repetition,
         "text_decontaminate": q_decontaminate,
         "text_pack_sequences": q_pack_sequences,
+        "text_chunk_documents": q_chunk_documents,
         "text_mixture_sample": q_mixture_sample,
         # -- events ----------------------------------------------------------
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_props_stats": q_events_props,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ann_lsh_topk": q_ann_lsh,
         "ft_bm25_may": q_bm25_may,
         "dedup_survivors": q_dedup_survivors,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1705,6 +1718,7 @@ SELECT b.doc_id FROM band b
 WHERE b.h < CAST(floor({DECON_TRAIN_RATE} * 4294967296) AS BIGINT)
   AND NOT EXISTS (SELECT 1 FROM hits x WHERE x.doc_id = b.doc_id)""",
         "text_pack_sequences": _PACK_SQL,
+        "text_chunk_documents": _chunk_documents_oracle(),
         "text_mixture_sample": _mixture_oracle(),
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
@@ -1864,6 +1878,28 @@ SELECT doc_id, n_tokens, tok_start,
        CAST(floor(tok_start / {PACK_SEQ_LEN}) AS BIGINT) AS seq_first,
        CAST(floor((tok_start + n_tokens - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS seq_last
 FROM p"""
+
+
+def _chunk_documents_oracle() -> str:
+    """Twin of textstats.chunk_documents at the pinned CHUNK_TOKENS /
+    CHUNK_OVERLAP: stride = tokens - overlap, chunk i = toks[i*stride :
+    i*stride + tokens], count = 1 + ceil(max(n - tokens, 0)/stride)."""
+    c, s = CHUNK_TOKENS, CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks, n, g.i::BIGINT AS chunk_id
+  FROM n, unnest(generate_series(
+    0, CAST(ceil(greatest(n - {c}, 0) / {s}.0) AS BIGINT))) AS g(i))
+SELECT doc_id, chunk_id,
+       (chunk_id * {s})::BIGINT AS tok_start,
+       least({c}, n - chunk_id * {s})::BIGINT AS n_tokens,
+       array_to_string(toks[chunk_id * {s} + 1 : chunk_id * {s} + {c}], ' ') AS chunk
+FROM c"""
 
 
 def _mixture_oracle() -> str:

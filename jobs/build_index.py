@@ -33,6 +33,15 @@ def parse_args(argv):
     # --epoch N (or --epoch -1 for auto-increment)
     p.add_argument("--epoch", type=int, default=0)
     p.add_argument("--block-size", type=int, default=128)
+    p.add_argument(
+        "--positions", action="store_true",
+        help="also build the positional sidecar (index-only phrase search)",
+    )
+    p.add_argument(
+        "--symspell", action="store_true",
+        help="also commit the SymSpell deletion-neighborhood table "
+        "(fuzzy expansion without a vocabulary scan)",
+    )
     return p.parse_args(argv)
 
 
@@ -71,6 +80,8 @@ def main(argv=None) -> int:
         buckets=args.buckets,
         bucket_batches=args.bucket_batches,
         block_size=args.block_size,
+        positions=args.positions,
+        symspell=args.symspell,
         **kwargs,
     )
     print(f"committed epoch {epoch} at {args.output}")

@@ -22,6 +22,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
     p.add_argument("--keep-old", action="store_true")
+    p.add_argument(
+        "--fold-deletes", action="store_true",
+        help="physically drop tombstoned docs (root/_deletes) during the "
+        "merge and recompute stats — the remedy for tombstone sets past "
+        "the query-time filter cap",
+    )
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from pyspark.sql import SparkSession
@@ -30,7 +36,11 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("perlin-spark-compact").getOrCreate()
     before = list_epochs(args.index)
-    new_epoch = compact_epochs(spark, args.index, delete_old=not args.keep_old)
+    new_epoch = compact_epochs(
+        spark, args.index,
+        delete_old=not args.keep_old,
+        fold_deletes=args.fold_deletes,
+    )
     if new_epoch is None:
         print(f"nothing to compact ({len(before)} epoch(s) at {args.index})")
     else:

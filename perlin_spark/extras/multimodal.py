@@ -685,6 +685,115 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     )
 
 
+def _fourcc(b: bytes) -> bytes:
+    return b.ljust(4)[:4]
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """RGB frames -> a minimal MJPEG-in-AVI container (test synth).
+
+    Motion-JPEG is the one mainstream video codec that is just a RIFF
+    wrapper around per-frame baseline JPEGs, so the r4 JPEG codec gives a
+    REAL end-to-end video decode with no new entropy coding.  Layout:
+    RIFF('AVI ') / LIST('hdrl': 'avih' + LIST('strl': 'strh','strf')) /
+    LIST('movi': one '00dc' chunk per frame)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    jpegs = [encode_jpeg(f) for f in frames]
+    usec = int(round(1_000_000 / fps))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return _fourcc(cid) + np.uint32(len(body)).tobytes() + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", _fourcc(kind) + body)
+
+    avih = np.zeros(14, dtype="<u4")
+    avih[0] = usec                      # dwMicroSecPerFrame
+    avih[4] = len(frames)               # dwTotalFrames
+    avih[6] = 1                         # dwStreams
+    avih[8], avih[9] = w, h
+    strh = (
+        b"vids" + b"MJPG" + np.zeros(2, "<u4").tobytes()  # flags, prio/lang
+        + np.uint32(0).tobytes()        # initial frames
+        + np.uint32(1).tobytes()        # scale
+        + np.uint32(fps).tobytes()      # rate (rate/scale = fps)
+        + np.uint32(0).tobytes()        # start
+        + np.uint32(len(frames)).tobytes()
+        + np.uint32(max(len(j) for j in jpegs)).tobytes()
+        + np.uint32(0xFFFFFFFF).tobytes()  # quality
+        + np.uint32(0).tobytes()        # samplesize
+        + np.array([0, 0, w, h], "<u2").tobytes()  # rcFrame
+    )
+    strf = (
+        np.array([40, w, h], "<u4").tobytes()
+        + np.array([1, 24], "<u2").tobytes()
+        + b"MJPG"
+        + np.array([w * h * 3, 0, 0, 0, 0], "<u4").tobytes()
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih.tobytes())
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + np.uint32(len(body)).tobytes() + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[list, float]:
+    """MJPEG-in-AVI -> (list of RGB frame arrays, fps).
+
+    Tolerant RIFF walk: frames are every '00dc'/'00db' chunk inside the
+    'movi' LIST, each a baseline JPEG (decoded by :func:`decode_jpeg`);
+    fps comes from the 'avih' dwMicroSecPerFrame.  Non-MJPEG AVIs hit
+    decode_jpeg's marker check and raise there — the codec seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    usec = 0
+    frames: list = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal usec
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos : pos + 4]
+            size = int(np.frombuffer(payload, "<u4", 1, pos + 4)[0])
+            body_lo = pos + 8
+            if cid == b"LIST":
+                walk(body_lo + 4, body_lo + size)  # skip the list-kind fourcc
+            elif cid == b"avih":
+                usec = int(np.frombuffer(payload, "<u4", 1, body_lo)[0])
+            elif cid[2:4] in (b"dc", b"db") and size:
+                frames.append(decode_jpeg(payload[body_lo : body_lo + size]))
+            pos = body_lo + size + (size & 1)
+
+    walk(12, 8 + int(np.frombuffer(payload, "<u4", 1, 4)[0]))
+    if not frames:
+        raise ValueError("no video frames ('00dc'/'00db') in AVI")
+    fps = 1_000_000 / usec if usec else 0.0
+    return frames, fps
+
+
+def _video_features(frames: list, fps: float, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Aggregate per-frame image features + temporal motion energy."""
+    f = np.zeros(dim, dtype=np.float32)
+    f[0] = 3.0  # modality tag: video
+    f[1] = np.log1p(fps)
+    f[2] = np.log1p(len(frames))
+    per = np.stack([_image_features(fr, dim) for fr in frames])
+    f[3:13] = per[:, 3:13].mean(axis=0)
+    if len(frames) > 1:
+        lum = [
+            (fr.astype(np.float32) / 255.0)
+            @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+            for fr in frames
+        ]
+        f[13] = float(
+            np.mean([np.abs(a - b).mean() for a, b in zip(lum[1:], lum[:-1])])
+        )
+    return f
+
+
 def _image_features(rgb: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     f = np.zeros(dim, dtype=np.float32)
     h, w, _ = rgb.shape
@@ -732,9 +841,13 @@ def real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray
         return _image_features(decode_jpeg(payload), dim)
     if mime == "audio/wav":
         return _audio_features(*decode_wav(payload), dim=dim)
+    if mime in ("video/x-msvideo", "video/avi"):
+        frames, fps = decode_avi_mjpeg(payload)
+        return _video_features(frames, fps, dim)
     raise NotImplementedError(
-        f"no pure-python decoder for {mime!r}; video containers/codecs "
-        "(mp4/h264/...) need ffmpeg-class libraries — plug a kernel in here"
+        f"no pure-python decoder for {mime!r}; inter-frame codecs "
+        "(h264/vp9/av1 in mp4/webm) need ffmpeg-class libraries — plug a "
+        "kernel in here (MJPEG-in-AVI is decoded natively above)"
     )
 
 

@@ -361,6 +361,64 @@ def pack_sequences(
     )
 
 
+CHUNK_TOKENS = 64   # tokens per chunk — operator contract
+CHUNK_OVERLAP = 8   # tokens shared between consecutive chunks
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """(doc_id, chunk_id, tok_start, n_tokens, chunk) — fixed-size
+    overlapping token-window chunking, the standard document splitter for
+    RAG/embedding pipelines over long documents.  Chunk i covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final chunk is the remainder
+    (never empty, never duplicated: a doc whose tail is already covered
+    emits no extra chunk).
+
+    All JVM-side (split/sequence/posexplode/slice/array_join — one narrow
+    pass, no shuffle, codegen-eligible), so it runs at scan speed on
+    100 TB and the DuckDB oracle replicates it literally."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens()
+    t = documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.col("n") - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("long")
+    return (
+        t.select(
+            "doc_id",
+            "n",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("tok_start"),
+            F.least(
+                F.lit(chunk_tokens).cast("long"),
+                F.col("n") - F.col("chunk_id") * stride,
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    (F.col("chunk_id") * stride + 1).cast("int"),
+                    chunk_tokens,
+                ),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+
+
 def mixture_sample(
     documents: DataFrame,
     rates: dict[str, float],

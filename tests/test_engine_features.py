@@ -517,3 +517,46 @@ def test_fuzzy_symspell_table(spark, tmp_path):
     assert idx3._symspell is not None
     eng3 = PerlinEngine(idx3, QueryPipeline(text_spec=spec))
     assert eng3.expand_fuzzy("text", "sorted", max_edits=1) == ["sorted"]
+
+
+def test_bm25_plan_invariant_to_sidecars(spark):
+    """Scaling-evidence transfer guard: the BM25 search plan is
+    byte-identical (modulo expression ids) whether or not the index
+    carries the positional sidecar, a derived SymSpell table, or an
+    EMPTY tombstone set — those features are additive no-ops on the
+    build/query hot path, so N-vs-4N throughput measured on a plain
+    build transfers to a feature-enabled one."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(8)], "doc_id long, text string"
+    )
+    spec = FieldSpec(field="text", source="text")
+
+    def norm_plan(df):
+        df.collect()
+        s = df._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+", "#x", s)
+        s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+        s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
+        return s
+
+    plain = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+    loaded = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec),
+        n_shards=2, positions=True,
+    )
+    loaded.index.symspell()  # derive the deletion table
+    # empty tombstone set: present but must short-circuit to None
+    loaded.index.set_deleted(
+        spark.createDataFrame([], "doc_id long")
+    )
+    assert loaded.index.deleted_broadcast() is None
+
+    p1 = norm_plan(plain.search("alpha beta", k=5))
+    p2 = norm_plan(loaded.search("alpha beta", k=5))
+    assert p1 == p2

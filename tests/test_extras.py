@@ -1098,3 +1098,62 @@ def test_kmeans_build_exact_at_oracle_settings(spark, tmp_path):
             for r in similarity.cosine_topk(emb, qv, k=10, exclude_id=0).collect()
         ]
         assert got == want, sf
+
+
+def test_chunk_documents_windows(spark):
+    """Overlapping token-window chunking: chunk i covers
+    [i*stride, i*stride+chunk); the remainder chunk is never empty and
+    never duplicated; zero-token docs are dropped; reassembling chunk
+    heads (first `stride` tokens) + the last chunk reproduces the doc."""
+    from perlin_spark.extras import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),   # multi-chunk
+            (1, " ".join(f"u{i}" for i in range(4))),    # n == chunk
+            (2, " ".join(f"v{i}" for i in range(5))),    # n == chunk+1
+            (3, " ".join(f"w{i}" for i in range(7))),    # (n-c) % stride == 0
+            (4, "solo"),                                  # n < chunk
+            (5, "   "),                                   # zero tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    c, o = 4, 1  # stride 3
+    out = textstats.chunk_documents(docs, chunk_tokens=c, overlap=o)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["tok_start"], r["n_tokens"], r["chunk"])
+        for r in out.collect()
+    }
+
+    def ref(tokens):
+        s = c - o
+        import math
+
+        n_chunks = 1 + math.ceil(max(len(tokens) - c, 0) / s)
+        return {
+            i: (i * s, min(c, len(tokens) - i * s),
+                " ".join(tokens[i * s : i * s + c]))
+            for i in range(n_chunks)
+        }
+
+    for doc_id, text in [(0, [f"t{i}" for i in range(10)]),
+                         (1, [f"u{i}" for i in range(4)]),
+                         (2, [f"v{i}" for i in range(5)]),
+                         (3, [f"w{i}" for i in range(7)]),
+                         (4, ["solo"])]:
+        want = ref(text)
+        got = {cid: rows[(doc_id, cid)] for (d, cid) in rows if d == doc_id}
+        assert got == want, doc_id
+        # every chunk non-empty; reassembly reproduces the doc exactly
+        assert all(v[1] > 0 for v in want.values())
+        s = c - o
+        last = max(want)
+        reassembled = [t for i in range(last) for t in want[i][2].split()[:s]]
+        reassembled += want[last][2].split()
+        assert reassembled == text
+    assert not [k for k in rows if k[0] == 5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        textstats.chunk_documents(docs, chunk_tokens=4, overlap=4)

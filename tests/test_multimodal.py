@@ -168,3 +168,56 @@ def test_png_real_decode_end_to_end(spark):
 
     with pytest.raises(ValueError):
         decode_png(b"\x00" * 16)
+
+
+def test_avi_mjpeg_roundtrip_and_features():
+    """MJPEG-in-AVI (r4 verdict item 8): decode_avi_mjpeg inverts
+    encode_avi_mjpeg — frame count, fps, per-frame pixels within JPEG
+    quantization error — and real_decode dispatches the video mimes to a
+    real feature vector (modality tag 3).  Non-AVI and frameless payloads
+    fail loudly; the remaining seam is inter-frame codecs only."""
+    import numpy as np
+
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(4):
+        # smooth gradients, brightness-shifted per frame (no hard edges:
+        # this bounds JPEG quantization error like the image roundtrip test)
+        fr = np.stack(
+            [
+                xx * (160 - 10 * i) // (w - 1) + 10 * i,
+                yy * (140 + 10 * i) // (h - 1),
+                (xx + yy) * 120 // (w + h - 2) + 20 * i,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        frames.append(fr)
+
+    payload = mm.encode_avi_mjpeg(frames, fps=8)
+    got, fps = mm.decode_avi_mjpeg(payload)
+    assert len(got) == 4 and abs(fps - 8.0) < 0.01
+    for a, b in zip(got, frames):
+        assert a.shape == b.shape
+        err = np.abs(a.astype(int) - b.astype(int))
+        assert err.max() <= 24 and err.mean() <= 5.0
+
+    for mime in ("video/x-msvideo", "video/avi"):
+        feat = mm.real_decode(payload, mime)
+        assert feat[0] == 3.0  # modality tag
+        assert feat[2] > 0  # frame count present
+    # temporal motion energy is nonzero across distinct frames
+    assert mm._video_features(got, fps)[13] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    empty = mm.encode_avi_mjpeg(frames[:1], fps=8)
+    # strip the movi frames -> "no video frames" is loud, not empty output
+    cut = empty[: empty.rindex(b"00dc")]
+    with _pytest.raises(ValueError):
+        mm.decode_avi_mjpeg(cut + b"\x00" * 0)
+    # the seam is narrower now: mp4/h264 still raises NotImplementedError
+    with _pytest.raises(NotImplementedError, match="h264"):
+        mm.real_decode(payload, "video/mp4")

@@ -391,7 +391,7 @@ def main() -> None:
         # host-state context + which evidence stands for each pair
         # (see BENCH.md / BASELINE.md): present when a run was taken on a
         # degraded host and a prior recorded run remains authoritative
-        for extra in ("retry_16c", "standing"):
+        for extra in ("retry_16c", "attempt_4_16", "standing"):
             if s.get(extra) is not None:
                 out["scaling"][extra] = s[extra]
     print(json.dumps(out))

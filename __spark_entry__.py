@@ -712,6 +712,26 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(_engine(spark, sf_dir).search_phrase(PHRASE_QUERY, k=10))
 
 
+NEAR_QUERY = "hash join"   # at sf0.01 w=3: 322 AND-candidates -> 144
+NEAR_WINDOW = 3            # unordered / 77 ordered (probed — discriminating)
+
+
+def q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (span-near) search over the positional sidecar, BOTH
+    modes in one gate: top-10 of the unordered (any-order witness within
+    the window) and ordered (strictly increasing slot chain) variants,
+    tagged by a mode column.  Scores are the conjunctive BM25 the phrase
+    contract uses."""
+    eng = _engine(spark, sf_dir)
+    u = _score_x1e4(eng.search_near(NEAR_QUERY, NEAR_WINDOW, k=10)).withColumn(
+        "mode", F.lit("unordered")
+    )
+    o = _score_x1e4(
+        eng.search_near(NEAR_QUERY, NEAR_WINDOW, k=10, ordered=True)
+    ).withColumn("mode", F.lit("ordered"))
+    return u.unionAll(o)
+
+
 MLT_DOC_ID = 7
 MLT_MAX_TERMS = 5
 
@@ -826,7 +846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_doc_stats": q_doc_stats,
         "ft_frequent_terms": q_frequent_terms,
         "ft_bm25_and_topk": q_bm25_and,
-        "ft_bm25_or_topk": q_bm25_or,
         "ft_must_filter": q_must_filter,
         "ft_must_not": q_must_not,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
@@ -842,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix_search": q_prefix_search,
         "ft_fuzzy_search": q_fuzzy_search,
         "ft_phrase_search": q_phrase_search,
+        "ft_near_search": q_near_search,
         "ft_facet_counts": q_facet_counts,
         "ft_more_like_this": q_more_like_this,
         "ft_snippets": q_snippets,
@@ -877,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_props_stats": q_events_props,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_bm25_or_topk": q_bm25_or,
         "ann_lsh_topk": q_ann_lsh,
         "ft_bm25_may": q_bm25_may,
         "dedup_survivors": q_dedup_survivors,
@@ -1351,6 +1372,51 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _near_search_oracle(k: int = 10) -> str:
+    """Twin of q_near_search: positions from WITH-ORDINALITY-style
+    unnest over the analyzed token array; unordered = an EXISTS witness
+    per term inside [start, start+W] for some occurrence start, ordered
+    = a join with strictly increasing positions and the same span bound;
+    each mode's verified set then ranks by the conjunctive BM25 body."""
+    t1, t2 = NEAR_QUERY.lower().split()
+    w = NEAR_WINDOW
+    return f"""
+WITH {_TOK},
+tokarr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+p AS (SELECT doc_id, g.i AS pos, toks[g.i] AS term
+      FROM tokarr, unnest(generate_series(1, len(toks))) AS g(i)
+      WHERE toks[g.i] IN ('{t1}', '{t2}')),
+ver_u AS (
+  SELECT DISTINCT s.doc_id FROM p s
+  WHERE EXISTS (SELECT 1 FROM p o WHERE o.doc_id = s.doc_id AND o.term = '{t1}'
+                AND o.pos BETWEEN s.pos AND s.pos + {w})
+    AND EXISTS (SELECT 1 FROM p o WHERE o.doc_id = s.doc_id AND o.term = '{t2}'
+                AND o.pos BETWEEN s.pos AND s.pos + {w})),
+ver_o AS (
+  SELECT DISTINCT a.doc_id FROM p a JOIN p b
+    ON b.doc_id = a.doc_id AND a.term = '{t1}' AND b.term = '{t2}'
+   AND b.pos > a.pos AND b.pos <= a.pos + {w}),
+qt AS (SELECT unnest(['{t1}', '{t2}']) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt USING (term) GROUP BY 1),
+sc AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
+  GROUP BY 1)
+SELECT 'unordered' AS mode, doc_id, score_x1e4 FROM (
+  SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+  FROM sc JOIN ver_u USING (doc_id) ORDER BY score DESC, doc_id LIMIT {k})
+UNION ALL
+SELECT 'ordered', doc_id, score_x1e4 FROM (
+  SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+  FROM sc JOIN ver_o USING (doc_id) ORDER BY score DESC, doc_id LIMIT {k})
+"""
+
+
 def _more_like_this_oracle(k: int = 10) -> str:
     """Twin of q_more_like_this: the seed doc's top tf*idf terms (same
     idf formula the index's vocabulary stores), (weight desc, term asc)
@@ -1756,6 +1822,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
             ["hash", "join"], conj=True, exclude_ids=DELETED_IDS
         ),
         "ft_phrase_search": _phrase_search_oracle(),
+        "ft_near_search": _near_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
         "ft_more_like_this": _more_like_this_oracle(),
         "ft_snippets": _snippets_oracle(),

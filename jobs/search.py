@@ -5,16 +5,18 @@ Usage::
     cd /root/repo && zip -r /tmp/perlin_spark.zip perlin_spark
     spark-submit --py-files /tmp/perlin_spark.zip jobs/search.py \
         --index /path/to/index_root --query "hash join" --k 10 \
-        [--mode bm25|phrase|prefix|fuzzy|mlt] \
+        [--mode bm25|phrase|near|prefix|fuzzy|mlt] \
         [--field content] [--combinator all|any] \
         [--must field:term ...] [--must-not field:term ...] \
+        [--window 3] [--ordered] \
         [--snippets] [--output /path/to/results_parquet]
 
 ``--mode`` selects the query operator: ``phrase`` (adjacency-verified),
-``prefix``/``fuzzy`` (vocabulary term expansion; fuzzy takes
-``--max-edits``), ``mlt`` (more-like-this; ``--query`` is the seed
-doc_id).  ``--snippets`` adds (pos, snippet) highlighting columns
-(bm25 mode only).
+``near`` (span/proximity: terms within ``--window`` tokens, any order
+unless ``--ordered``), ``prefix``/``fuzzy`` (vocabulary term expansion;
+fuzzy takes ``--max-edits``), ``mlt`` (more-like-this; ``--query`` is
+the seed doc_id).  ``--snippets`` adds (pos, snippet) highlighting
+columns (bm25 mode only).
 
 Prints the top-k (doc_id, score) to stdout; ``--output`` additionally
 writes the full ranked result as parquet (for pipeline consumption).
@@ -33,9 +35,14 @@ def parse_args(argv):
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--field", default=None, help="text field (default: first spec)")
     p.add_argument("--combinator", choices=["all", "any"], default="all")
-    p.add_argument("--mode", choices=["bm25", "phrase", "prefix", "fuzzy", "mlt"],
+    p.add_argument("--mode",
+                   choices=["bm25", "phrase", "near", "prefix", "fuzzy", "mlt"],
                    default="bm25")
     p.add_argument("--max-edits", type=int, default=1)
+    p.add_argument("--window", type=int, default=3,
+                   help="near mode: max token span covering all terms")
+    p.add_argument("--ordered", action="store_true",
+                   help="near mode: terms must appear in query order")
     p.add_argument("--snippets", action="store_true")
     p.add_argument("--must", action="append", default=[], metavar="FIELD:TERM")
     p.add_argument("--must-not", action="append", default=[], metavar="FIELD:TERM")
@@ -68,6 +75,10 @@ def main(argv=None) -> int:
 
     if args.mode == "phrase":
         result = eng.search_phrase(args.query, k=args.k)
+    elif args.mode == "near":
+        result = eng.search_near(
+            args.query, args.window, k=args.k, ordered=args.ordered
+        )
     elif args.mode == "prefix":
         result = eng.search_prefix(args.query, k=args.k, field=spec.field)
     elif args.mode == "fuzzy":

@@ -332,6 +332,89 @@ class PerlinEngine:
         out = out.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
+    def search_near(
+        self,
+        query: str,
+        window: int,
+        k: int | None = 10,
+        ordered: bool = False,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """Proximity (span-near) search: documents where the query terms
+        co-occur within a ``window``-token span of the field's analyzed
+        stream.  ``ordered=False`` (default): one witness occurrence per
+        DISTINCT term, any order, ``max(pos) - min(pos) <= window``.
+        ``ordered=True``: one occurrence per query SLOT (duplicates kept)
+        at strictly increasing positions with the same span bound — so
+        ``ordered=True, window=len(terms)-1`` is exactly phrase adjacency.
+        Score = conjunctive BM25 over the distinct terms (candidacy set),
+        ordering ``(score desc, doc_id asc)`` — the phrase contract.
+
+        Uses the positional sidecar when the index carries it (term- and
+        bucket-pruned sidecar scan, shard-local key intersection — corpus
+        text never read); otherwise falls back to re-analyzing only the
+        candidate rows, same as phrase."""
+        if window < 0:
+            raise ValueError("window must be >= 0")
+        spec = (pipeline or self.pipeline).text_spec
+        terms = self._analyze_ordered(query, spec)
+        if not terms:
+            return self.search(QuerySpec(groups=(), filters=()), k=k)
+        uniq = tuple(dict.fromkeys(terms))
+        cand = self.search(
+            QuerySpec(groups=((spec.field, "all", uniq),), filters=()), k=None
+        )
+        if len(terms) == 1:
+            if k is not None:
+                return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            return cand
+        if self.index.positions is not None:
+            from .positions import near_match_docs
+
+            matched = near_match_docs(
+                self.index.positions, spec.field, terms, window,
+                ordered=ordered, buckets=self.index.buckets,
+            )
+            out = cand.join(matched, "doc_id")
+            out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+            return out.limit(k) if k is not None else out
+        src = spec.source
+        slots = list(terms) if ordered else sorted(set(terms))
+
+        def verify(batches):
+            import numpy as np
+            import pandas as pd
+
+            from .analysis import apply_field_pipeline, tokenize
+            from .positions import near_keys_match
+
+            for pdf in batches:
+                if pdf.empty:
+                    yield pdf[["doc_id", "score"]]
+                    continue
+                pdf = pdf.reset_index(drop=True)
+                toks = tokenize(pdf[src], spec.tokenizer)
+                keep = []
+                for fname, ts in apply_field_pipeline(toks, spec):
+                    if fname != spec.field or not len(ts):
+                        continue
+                    # per-row surviving streams; row index plays doc_id
+                    for row, stream in ts.groupby(level=0):
+                        arr = stream.to_numpy()
+                        L = np.int64(arr.size + window + 2)
+                        slot_keys = [
+                            np.int64(row) * L + np.flatnonzero(arr == t)
+                            for t in slots
+                        ]
+                        if near_keys_match(slot_keys, window, ordered, L).size:
+                            keep.append(row)
+                yield pdf.loc[sorted(set(keep)), ["doc_id", "score"]]
+
+        joined = cand.join(self.index.docs.select("doc_id", src), "doc_id")
+        out = joined.mapInPandas(verify, schema="doc_id long, score double")
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
     #: more_like_this representative-term cap — operator contract
     MLT_MAX_TERMS = 10
 

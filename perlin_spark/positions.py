@@ -379,3 +379,98 @@ def phrase_match_docs(
         return pd.DataFrame({"doc_id": matched.astype("int64")})
 
     return pos.groupBy("shard").applyInPandas(verify, "doc_id long")
+
+
+def near_keys_match(
+    slot_keys: list[np.ndarray], window: int, ordered: bool, L: np.int64
+) -> np.ndarray:
+    """Core proximity matcher over position KEYS (``doc*L + pos``), shared
+    by the sidecar path and the re-analysis fallback.
+
+    ``slot_keys[i]`` = sorted unique keys of slot i's term occurrences.
+    ``L`` must exceed ``max_pos + window + 1`` so windows can never bleed
+    across the doc boundary (a key in the next doc differs by >= L >
+    window) — same-doc checks are then implied by the window arithmetic.
+
+    Unordered: a match START is an occurrence of ANY slot; every slot
+    must have an occurrence in ``[start, start + window]``.  Ordered: a
+    greedy strictly-increasing chain slot0 < slot1 < ... with total span
+    ``<= window`` (greedy earliest-next preserves existence).  Returns
+    the matching doc_ids (``key // L``), unique ascending."""
+    if any(k.size == 0 for k in slot_keys):
+        return np.zeros(0, dtype=np.int64)
+    if ordered:
+        cur = slot_keys[0]
+        start = cur
+        for ks in slot_keys[1:]:
+            idx = np.searchsorted(ks, cur + 1)
+            ok = idx < ks.size  # chains with no later occurrence die here
+            cur, start, idx = cur[ok], start[ok], idx[ok]
+            if cur.size == 0:
+                return np.zeros(0, dtype=np.int64)
+            cur = ks[idx]
+        hit = cur - start <= window  # cross-doc chains differ by >= L > window
+        return np.unique(start[hit] // L)
+    starts = np.unique(np.concatenate(slot_keys))
+    hit = np.ones(starts.size, dtype=bool)
+    for ks in slot_keys:
+        idx = np.searchsorted(ks, starts)
+        ok = idx < ks.size
+        nxt = ks[np.minimum(idx, ks.size - 1)]
+        hit &= ok & (nxt <= starts + window)
+        if not hit.any():
+            return np.zeros(0, dtype=np.int64)
+    return np.unique(starts[hit] // L)
+
+
+def near_match_docs(
+    positions: DataFrame,
+    field: str,
+    terms: list[str],
+    window: int,
+    ordered: bool = False,
+    buckets: int | None = None,
+) -> DataFrame:
+    """doc_ids whose ``field`` stream contains the query terms within a
+    ``window``-token span, from the positional sidecar alone (the span /
+    proximity query — Lucene's SpanNearQuery shape).
+
+    Same plan as :func:`phrase_match_docs` (term + bucket pushdown into
+    the sidecar scan, shard-local Arrow verification); the matcher is
+    :func:`near_keys_match`.  Unordered mode operates on the DISTINCT
+    terms (one witness occurrence each, any order); ordered mode keeps
+    duplicate slots — each needs its own occurrence at a strictly
+    increasing position, so ``ordered=True, window=len(terms)-1`` is
+    exactly phrase adjacency."""
+    slots = list(terms) if ordered else sorted(set(terms))
+    uniq = sorted(set(slots))
+    pos = positions.filter((F.col("field") == field) & F.col("term").isin(uniq))
+    if buckets is not None and "bucket" in positions.columns:
+        from .spark_hash import bucket_of
+
+        need = sorted({bucket_of(field, t, buckets) for t in uniq})
+        pos = pos.filter(F.col("bucket").isin(need))
+    n_uniq = len(uniq)
+
+    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for r in pdf.itertuples(index=False):
+            docs, tfs = codec.decode_postings(bytes(r.blob))
+            p = decode_positions(bytes(r.pos_blob), tfs)
+            per_term.setdefault(r.term, []).append((np.repeat(docs, tfs), p))
+        if len(per_term) < n_uniq:  # a term absent in this shard: no match
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        max_pos = max(
+            (int(p.max()) for runs in per_term.values() for _, p in runs if p.size),
+            default=0,
+        )
+        L = np.int64(max_pos + window + 2)
+        keys_of: dict[str, np.ndarray] = {}
+        for t, runs in per_term.items():
+            d = np.concatenate([x[0] for x in runs])
+            p = np.concatenate([x[1] for x in runs])
+            keys_of[t] = np.unique(d * L + p)
+        matched = near_keys_match([keys_of[t] for t in slots], window, ordered, L)
+        return pd.DataFrame({"doc_id": matched.astype("int64")})
+
+    return pos.groupBy("shard").applyInPandas(verify, "doc_id long")

@@ -102,6 +102,12 @@ def test_positional_phrase_plan_no_docs_scan(spark, tmp_path):
     assert "text#" not in plan  # the corpus text is never scanned
     assert "FlatMapGroupsInPandas" in plan  # the position-intersection stage
 
+    near = eng.search_near("merge sort", 4, k=10)
+    near.collect()
+    near_plan = near._jdf.queryExecution().executedPlan().toString()
+    assert "text#" not in near_plan  # span-near shares the index-only property
+    assert "FlatMapGroupsInPandas" in near_plan
+
     idx.positions = None  # force the re-analysis fallback on the same index
     fb = eng.search_phrase("merge sort", k=10)
     fb.collect()
@@ -167,3 +173,103 @@ def test_positions_number_routing_stream_slots(spark):
     )
     got = sorted(r["doc_id"] for r in eng.search_phrase("alpha beta", k=10).collect())
     assert got == [0, 1]
+
+NEAR_CORPUS = [
+    (0, "alpha beta gamma delta"),
+    (1, "gamma x x alpha y beta"),
+    (2, "alpha x beta x x gamma"),
+    (3, "beta alpha gamma"),
+    (4, "alpha beta"),
+    (5, "alpha alpha beta"),
+]
+
+
+def _build_near(spark, positions):
+    corpus = spark.createDataFrame(NEAR_CORPUS, "doc_id long, text string")
+    spec = FieldSpec(field="text", source="text")
+    return PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec),
+        n_shards=2, positions=positions,
+    )
+
+
+def test_near_search_semantics_and_fallback_parity(spark):
+    """Span-near over the sidecar: unordered = witness-per-distinct-term
+    within the window (any order), ordered = strictly increasing slot
+    chain (duplicates each need an occurrence), and the re-analysis
+    fallback returns byte-identical results on every case.  The identity
+    ordered+window=len-1 == phrase is pinned."""
+    pos_eng = _build_near(spark, True)
+    fb_eng = _build_near(spark, False)
+    q = "alpha beta gamma"
+    cases = [
+        (q, 2, False, [0, 3]),
+        (q, 5, False, [0, 1, 2, 3]),
+        (q, 5, True, [0, 2]),
+        (q, 2, True, [0]),
+        ("alpha alpha", 1, True, [5]),       # duplicate slots need 2 occurrences
+        ("alpha zzzqqq", 3, False, []),       # absent term: empty, no raise
+    ]
+    for query, w, ordered, want in cases:
+        for eng in (pos_eng, fb_eng):
+            got = sorted(
+                r["doc_id"]
+                for r in eng.search_near(query, w, k=None, ordered=ordered).collect()
+            )
+            assert got == want, (query, w, ordered, eng is pos_eng)
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in pos_eng.search_near(query, w, k=10, ordered=ordered).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in fb_eng.search_near(query, w, k=10, ordered=ordered).collect()]
+        assert a == b, (query, w, ordered)
+    # ordered near at window = n_slots - 1 is exactly phrase adjacency
+    for eng in (pos_eng, fb_eng):
+        near = [r["doc_id"] for r in eng.search_near(q, 2, k=10, ordered=True).collect()]
+        phrase = [r["doc_id"] for r in eng.search_phrase(q, k=10).collect()]
+        assert near == phrase
+    assert pos_eng.search_near(q, 5, k=0).count() == 0
+    assert pos_eng.search_near("", 3, k=10).count() == 0
+    with pytest.raises(ValueError, match="window"):
+        pos_eng.search_near(q, -1)
+
+
+@settings(deadline=None, max_examples=120)
+@given(
+    st.lists(  # a few docs of tokens over a tiny alphabet
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12),
+        min_size=1, max_size=5,
+    ),
+    st.lists(st.sampled_from("abc"), min_size=2, max_size=3),  # query slots
+    st.integers(min_value=0, max_value=6),
+    st.booleans(),
+)
+def test_near_keys_match_vs_bruteforce(docs, slots, window, ordered):
+    """near_keys_match == brute force over all occurrence choices."""
+    from itertools import product
+
+    from perlin_spark.positions import near_keys_match
+
+    max_len = max(len(d) for d in docs)
+    L = np.int64(max_len + window + 2)
+    eff = slots if ordered else sorted(set(slots))
+    slot_keys = [
+        np.concatenate([
+            np.int64(i) * L + np.flatnonzero(np.array(d) == t)
+            for i, d in enumerate(docs)
+        ]) for t in eff
+    ]
+    got = near_keys_match([np.unique(k) for k in slot_keys], window, ordered, L)
+
+    want = []
+    for i, d in enumerate(docs):
+        occ = [[p for p, tok in enumerate(d) if tok == t] for t in eff]
+        hit = False
+        for choice in product(*occ):
+            if ordered and any(b <= a for a, b in zip(choice, choice[1:])):
+                continue
+            if max(choice) - min(choice) <= window:
+                hit = True
+                break
+        if hit:
+            want.append(i)
+    assert got.tolist() == want

@@ -676,6 +676,18 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILDCARD_QUERY = "s?a*"  # -> {scan, small, spark} at sf0.01 (probed) —
+                         # exercises both glob wildcards in one pattern
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard search: */? glob -> LIKE predicate on the vocabulary
+    (df desc, term asc, capped) -> one Any-combinator BM25 query."""
+    return _score_x1e4(
+        _engine(spark, sf_dir).search_wildcard(WILDCARD_QUERY, k=10, field="text")
+    )
+
+
 PHRASE_QUERY = "merge sort"   # 32 adjacency hits at sf0.01 (probed)
 FACET_QUERY = "scan"          # df 398 at sf0.01 — a wide match set
 FACET_BY = "source"
@@ -847,7 +859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_frequent_terms": q_frequent_terms,
         "ft_bm25_and_topk": q_bm25_and,
         "ft_must_filter": q_must_filter,
-        "ft_must_not": q_must_not,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
         "ft_boolean_and_set": q_boolean_and_set,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
@@ -860,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- search features ------------------------------------------------
         "ft_prefix_search": q_prefix_search,
         "ft_fuzzy_search": q_fuzzy_search,
+        "ft_wildcard_search": q_wildcard_search,
         "ft_phrase_search": q_phrase_search,
         "ft_near_search": q_near_search,
         "ft_facet_counts": q_facet_counts,
@@ -897,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_props_stats": q_events_props,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_must_not": q_must_not,
         "ft_bm25_or_topk": q_bm25_or,
         "ann_lsh_topk": q_ann_lsh,
         "ft_bm25_may": q_bm25_may,
@@ -1338,6 +1351,21 @@ def _fuzzy_search_oracle(k: int = 10) -> str:
         f"WHERE length(term) BETWEEN {lo} AND {hi} "
         f"AND levenshtein(term, '{FUZZY_QUERY}') <= {FUZZY_EDITS} "
         f"ORDER BY levenshtein(term, '{FUZZY_QUERY}'), df DESC, term LIMIT {cap})"
+    )
+    return _expansion_bm25_body(exp, k)
+
+
+def _wildcard_search_oracle(k: int = 10) -> str:
+    """Twin of q_wildcard_search: the same glob compiled to SQL LIKE
+    (dialect-identical in Spark and DuckDB), df-desc/term-asc capped
+    expansion, then disjunctive BM25."""
+    from perlin_spark.engine import PerlinEngine
+
+    cap = PerlinEngine.EXPAND_MAX_TERMS
+    like = PerlinEngine._glob_to_like(WILDCARD_QUERY)
+    exp = (
+        f"SELECT term FROM (SELECT term FROM voc WHERE term LIKE '{like}' "
+        f"ORDER BY df DESC, term LIMIT {cap})"
     )
     return _expansion_bm25_body(exp, k)
 
@@ -1818,6 +1846,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_hierarchy_search": _hierarchy_search_oracle(),
         "ft_prefix_search": _prefix_search_oracle(),
         "ft_fuzzy_search": _fuzzy_search_oracle(),
+        "ft_wildcard_search": _wildcard_search_oracle(),
         "ft_bm25_deleted": _bm25_oracle(
             ["hash", "join"], conj=True, exclude_ids=DELETED_IDS
         ),

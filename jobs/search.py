@@ -5,7 +5,7 @@ Usage::
     cd /root/repo && zip -r /tmp/perlin_spark.zip perlin_spark
     spark-submit --py-files /tmp/perlin_spark.zip jobs/search.py \
         --index /path/to/index_root --query "hash join" --k 10 \
-        [--mode bm25|phrase|near|prefix|fuzzy|mlt] \
+        [--mode bm25|phrase|near|prefix|fuzzy|wildcard|mlt] \
         [--field content] [--combinator all|any] \
         [--must field:term ...] [--must-not field:term ...] \
         [--window 3] [--ordered] \
@@ -13,9 +13,10 @@ Usage::
 
 ``--mode`` selects the query operator: ``phrase`` (adjacency-verified),
 ``near`` (span/proximity: terms within ``--window`` tokens, any order
-unless ``--ordered``), ``prefix``/``fuzzy`` (vocabulary term expansion;
-fuzzy takes ``--max-edits``), ``mlt`` (more-like-this; ``--query`` is
-the seed doc_id).  ``--snippets`` adds (pos, snippet) highlighting
+unless ``--ordered``), ``prefix``/``fuzzy``/``wildcard`` (vocabulary
+term expansion; fuzzy takes ``--max-edits``, wildcard takes a ``*``/``?``
+glob as the query), ``mlt`` (more-like-this; ``--query`` is the seed
+doc_id).  ``--snippets`` adds (pos, snippet) highlighting
 columns (bm25 mode only).
 
 Prints the top-k (doc_id, score) to stdout; ``--output`` additionally
@@ -36,7 +37,8 @@ def parse_args(argv):
     p.add_argument("--field", default=None, help="text field (default: first spec)")
     p.add_argument("--combinator", choices=["all", "any"], default="all")
     p.add_argument("--mode",
-                   choices=["bm25", "phrase", "near", "prefix", "fuzzy", "mlt"],
+                   choices=["bm25", "phrase", "near", "prefix", "fuzzy",
+                            "wildcard", "mlt"],
                    default="bm25")
     p.add_argument("--max-edits", type=int, default=1)
     p.add_argument("--window", type=int, default=3,
@@ -85,6 +87,8 @@ def main(argv=None) -> int:
         result = eng.search_fuzzy(
             args.query, k=args.k, field=spec.field, max_edits=args.max_edits
         )
+    elif args.mode == "wildcard":
+        result = eng.search_wildcard(args.query, k=args.k, field=spec.field)
     elif args.mode == "mlt":
         result = eng.more_like_this(int(args.query), k=args.k)
     elif args.snippets:

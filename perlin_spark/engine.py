@@ -137,6 +137,44 @@ class PerlinEngine:
         return [r["term"] for r in rows]
 
     @staticmethod
+    def _glob_to_like(pattern: str) -> str:
+        """``*``/``?`` glob -> SQL LIKE pattern (literal ``%``/``_``/``\\``
+        escaped with ``\\``) — LIKE semantics are identical in Spark and
+        ANSI SQL, so the oracle needs no regex-dialect translation."""
+        out = []
+        for ch in pattern:
+            if ch == "*":
+                out.append("%")
+            elif ch == "?":
+                out.append("_")
+            elif ch in ("%", "_", "\\"):
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def expand_wildcard(
+        self, field: str, pattern: str, max_terms: int = EXPAND_MAX_TERMS
+    ) -> list[str]:
+        """Highest-df vocabulary terms matching the ``*``/``?`` glob
+        (df desc, term asc — the repo-wide tie-break).  Compiles to a
+        LIKE predicate on the vocabulary scan; a prefix-shaped glob
+        (``pre*``) additionally gets the `startswith` pushdown so the
+        planner can range-prune like :meth:`expand_prefix`."""
+        cond = F.col("term").like(self._glob_to_like(pattern))
+        head = pattern.split("*")[0].split("?")[0]
+        if head:  # leading literal: add the sargable prefix predicate
+            cond = cond & F.col("term").startswith(head)
+        rows = (
+            self.index.vocabulary.filter((F.col("field") == field) & cond)
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    @staticmethod
     def _deletion_keys(term: str, max_edits: int) -> list[str]:
         """All strings reachable from ``term`` with <= max_edits deletions
         (including itself) — the query-side half of SymSpell.  Driver-side
@@ -238,6 +276,21 @@ class PerlinEngine:
         field = field or self.pipeline.text_spec.field
         return self._search_expanded(
             field, self.expand_fuzzy(field, term, max_edits, max_terms), k
+        )
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int | None = 10,
+        field: str | None = None,
+        max_terms: int = EXPAND_MAX_TERMS,
+    ) -> DataFrame:
+        """Wildcard search: ``*`` (any run) / ``?`` (one char) glob over
+        the vocabulary, scored as one disjunctive BM25 query.  Prefix
+        search is the ``pre*`` special case."""
+        field = field or self.pipeline.text_spec.field
+        return self._search_expanded(
+            field, self.expand_wildcard(field, pattern, max_terms), k
         )
 
     def _analyze_ordered(self, text: str, spec) -> list[str]:

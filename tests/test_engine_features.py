@@ -560,3 +560,45 @@ def test_bm25_plan_invariant_to_sidecars(spark):
     p1 = norm_plan(plain.search("alpha beta", k=5))
     p2 = norm_plan(loaded.search("alpha beta", k=5))
     assert p1 == p2
+
+
+def test_wildcard_search(spark):
+    """Glob expansion: * / ? compile to a LIKE predicate over the
+    vocabulary (df desc, term asc, capped); literal % / _ in a pattern
+    are escaped, not wildcards; the scored search equals the explicit
+    Any QuerySpec over the expanded terms."""
+    from perlin_spark.analysis import QuerySpec
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "merge sort merge"),
+            (1, "merged branches fast"),
+            (2, "merchant ledger sort"),
+            (3, "m_rge literal%token"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+
+    assert eng.expand_wildcard("text", "mer*") == ["merchant", "merge", "merged"]
+    assert eng.expand_wildcard("text", "merge?") == ["merged"]
+    assert eng.expand_wildcard("text", "m*ge") == ["m_rge", "merge"]
+    assert eng.expand_wildcard("text", "*ort*") == ["sort"]
+    assert eng.expand_wildcard("text", "mer*", max_terms=2) == ["merchant", "merge"]
+    # literal _ and % must NOT act as wildcards
+    assert eng.expand_wildcard("text", "m_rge") == ["m_rge"]
+    assert eng.expand_wildcard("text", "m?rge") == ["m_rge", "merge"]
+    assert eng.expand_wildcard("text", "literal%*") == ["literal%token"]
+    assert eng.expand_wildcard("text", "zzz*") == []
+
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in eng.search_wildcard("mer*", k=10).collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in eng.search(QuerySpec(
+                groups=(("text", "any", ("merchant", "merge", "merged")),),
+                filters=()), k=10).collect()]
+    assert got == want and got
+    assert eng.search_wildcard("zzz*", k=10).count() == 0

@@ -45,7 +45,10 @@ from perlin_spark.fixtures import synth_code_corpus
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CODE_ROWS = int(os.environ.get("SPARK_GRAFT_CODE_ROWS", "20000"))
-QUERY_REPS = 5
+#: 10 reps x 7 queries = 70 p95 samples — one transient host hiccup can no
+#: longer flip the gate (at 5 reps the p95 index sat on the 2nd-worst
+#: sample, and the r5 first run failed on exactly that)
+QUERY_REPS = 10
 
 # --- host fault-budget probe (BENCH.md "Host ceiling") ---------------------
 # This sandbox rate-limits page faults with a refilling credit bucket: when
@@ -64,6 +67,11 @@ MAX_AWAIT_S = float(os.environ.get("SPARK_GRAFT_FAULT_MAX_AWAIT", "300"))
 #: the headline number — it gets a mandatory probe gate that does not
 #: compete with the build sections for refill time.
 QUERY_AWAIT_S = float(os.environ.get("SPARK_GRAFT_QUERY_MAX_AWAIT", "600"))
+#: the query gate also holds out for a HIGHER recovery bar: a marginal
+#: probe (the r5 first run proceeded at 907 MB/s) still ran queries 2-3x
+#: slow — the refill is momentary-probe-overstated (BENCH.md) — while the
+#: same mix minutes later at full health sat at 244-541 ms
+QUERY_HEALTHY_MBPS = float(os.environ.get("SPARK_GRAFT_QUERY_HEALTHY_MBPS", "1050"))
 _PROBE_SRC: bytes | None = None
 
 
@@ -135,12 +143,27 @@ def main() -> None:
         # host's fresh-page throughput recovers, capped per POOL — the
         # query sections' mandatory gate ("query" pool) cannot be starved
         # by refill time the build sections already consumed (the r4
-        # artifact's failure mode)
+        # artifact's failure mode).  The query pool additionally (a) holds
+        # a higher bar, (b) pays a fixed quiet floor after the build
+        # section's 32-thread page storm, and (c) requires the bar to hold
+        # across CONSECUTIVE probes: a single post-sleep probe overstates
+        # the refill rate (measured twice — r5 first runs proceeded at
+        # 907-1256 MB/s single probes and still ran the doc mix 2-4x slow,
+        # while the same mix after a longer quiet period sat at 244-541 ms)
+        bar = QUERY_HEALTHY_MBPS if pool == "query" else HEALTHY_MBPS
+        need = 2 if pool == "query" else 1
+        if pool == "query":
+            floor = max(floor, 45.0)
         cooldown(floor)
-        r = fault_probe_mbps()
-        while r < HEALTHY_MBPS and await_spent[pool] < await_caps[pool]:
+        streak = 0
+        while await_spent[pool] < await_caps[pool]:
+            r = fault_probe_mbps()
+            streak = streak + 1 if r >= bar else 0
+            if streak >= need:
+                break
             cooldown(20.0)
             await_spent[pool] += 20.0
+        else:
             r = fault_probe_mbps()
         probe_log[tag] = int(r)
 
@@ -182,15 +205,18 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     await_budget("before_doc_queries", floor=5.0, pool="query")
     samples: list[float] = []
+    query_samples: dict[str, list[float]] = {}
     for name, q, filters in QUERY_MIX:
         for _ in range(3):  # settle JIT/codegen/worker reuse (see BENCH.md)
             eng.search(q, k=10, filters=list(filters)).collect()
         best = None
+        query_samples[name] = []
         for _ in range(QUERY_REPS):
             t0 = time.perf_counter()
             eng.search(q, k=10, filters=list(filters)).collect()
             dt = time.perf_counter() - t0
             samples.append(dt)
+            query_samples[name].append(round(dt * 1000, 1))
             best = dt if best is None else min(best, dt)
         times[f"q_{name}"] = best
 
@@ -234,11 +260,13 @@ def main() -> None:
         for _ in range(3):
             code_eng.search(q, k=10).collect()
         best = None
+        query_samples[name] = []
         for _ in range(QUERY_REPS):
             t0 = time.perf_counter()
             code_eng.search(q, k=10).collect()
             dt = time.perf_counter() - t0
             samples.append(dt)
+            query_samples[name].append(round(dt * 1000, 1))
             best = dt if best is None else min(best, dt)
         times[f"q_{name}"] = best
     samples.sort()
@@ -360,6 +388,9 @@ def main() -> None:
         # self-explaining instead of silently 2x off (r3 verdict item 1)
         "host_fault_probe_mbps": probe_log,
         "build_samples": samples_log,
+        # every raw p95 sample (ms), per query — an over-gate p95 is
+        # attributable to the specific hiccup samples, not a mystery
+        "query_samples_ms": query_samples,
         "await_budget_spent_s": round(await_spent["global"], 1),
         # True when the adaptive wait budget ran out while the probe was
         # still below HEALTHY_MBPS — the run proceeded on a host that

@@ -808,6 +808,21 @@ def q_bm25_and_dl_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(_engine_dl_fallback(spark, sf_dir).search("hash join", k=10))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable classic TF-IDF similarity (idf^2 * sqrt(tf) /
+    sqrt(dl)) on the shared documents index: similarity is a runtime
+    handle attribute, so the same cached index serves both rankings —
+    dataclasses.replace shares every frame/cache, only the scorer
+    closure changes."""
+    import dataclasses
+
+    base = _engine(spark, sf_dir)
+    eng = PerlinEngine(
+        dataclasses.replace(base.index, similarity="tfidf"), base.pipeline
+    )
+    return _score_x1e4(eng.search("hash join", k=10))
+
+
 def q_golden_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own golden queries end-to-end (stemmed, number-routed
     pipeline over the 3-doc corpus): (query_id, doc_id) match matrix."""
@@ -860,7 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and_topk": q_bm25_and,
         "ft_must_filter": q_must_filter,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
-        "ft_boolean_and_set": q_boolean_and_set,
+        "ft_tfidf_topk": q_tfidf_topk,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "ft_hierarchy_search": q_hierarchy_search,
         # -- code-corpus gates (AlphaNumericTokenizer + u64 router) --------
@@ -909,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_props_stats": q_events_props,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_boolean_and_set": q_boolean_and_set,
         "ft_must_not": q_must_not,
         "ft_bm25_or_topk": q_bm25_or,
         "ann_lsh_topk": q_ann_lsh,
@@ -1355,6 +1371,29 @@ def _fuzzy_search_oracle(k: int = 10) -> str:
     return _expansion_bm25_body(exp, k)
 
 
+def _tfidf_oracle(terms: list[str], k: int = 10) -> str:
+    """Twin of q_tfidf_topk: conjunctive candidacy (same as the BM25 AND
+    body), scored by the pinned classic formula
+    idf^2 * sqrt(tf) / sqrt(max(dl, 1)) with BM25's ln idf."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOK},
+qt AS (SELECT unnest([{tlist}]) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt USING (term) GROUP BY 1),
+cand AS (SELECT doc_id FROM tfv JOIN qt USING (term) GROUP BY doc_id
+         HAVING count(DISTINCT term) = (SELECT count(*) FROM qt)),
+sc AS (
+  SELECT m.doc_id,
+         sum(pow(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5)), 2)
+             * sqrt(m.tf) / sqrt(greatest(d.dl, 1))) AS score
+  FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def _wildcard_search_oracle(k: int = 10) -> str:
     """Twin of q_wildcard_search: the same glob compiled to SQL LIKE
     (dialect-identical in Spark and DuckDB), df-desc/term-asc capped
@@ -1624,6 +1663,7 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""",
             ["sort", "merge"], conj=True,
             must=["window"], must_not=["vector"], may=["dup"],
         ),
+        "ft_tfidf_topk": _tfidf_oracle(["hash", "join"]),
         "ft_boolean_and_set": f"""
 WITH {_TOK}
 SELECT doc_id FROM tfv WHERE term IN ('sort', 'merge', 'window')

@@ -199,6 +199,12 @@ class IndexData:
     block_size: int
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
+    #: ranking similarity — "bm25" (default, the north-star contract) or
+    #: "tfidf" (classic vector-space: idf^2 * sqrt(tf)/sqrt(dl)).  A
+    #: runtime scoring choice, not part of the stored index (set it on
+    #: the handle after load_index); both keep MaxScore pruning exact
+    #: because their impact bounds are tf-monotone / dl-anti-monotone
+    similarity: str = "bm25"
     #: pre-aggregation df rows (field, term, df) — for persisted indexes a
     #: small materialized table per epoch, so per-query idf lookups never
     #: scan the postings table
@@ -853,6 +859,7 @@ def build_index(
     num_partitions: int | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    similarity: str = "bm25",
     epoch: int = 0,
     positions: bool = False,
 ) -> IndexData:
@@ -902,6 +909,7 @@ def build_index(
         n_docs=n_docs, chunk=chunk, n_shards=n_shards,
         block_size=block_size, k1=k1, b=b,
     )
+    idx.similarity = similarity
     idx._persisted = persisted
     if positions:
         from .positions import build_positions

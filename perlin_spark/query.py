@@ -57,6 +57,24 @@ def bm25_contrib(tf, dl, idf, avgdl, k1, b):
     return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def tfidf_contrib(tf, dl, idf):
+    """Classic vector-space (Lucene ClassicSimilarity shape) per-term
+    contribution, pinned for oracle parity: ``idf^2 * sqrt(tf) /
+    sqrt(max(dl, 1))`` — idf squared (query and doc side), sqrt tf
+    saturation, 1/sqrt(dl) length norm.  Same idf as BM25's ln form."""
+    return idf * idf * np.sqrt(tf) / np.sqrt(np.maximum(dl, 1.0))
+
+
+def sim_contrib(sim, tf, dl, idf, avgdl, k1, b):
+    """Dispatch the per-term contribution by similarity name.  Both
+    similarities are monotone in tf and anti-monotone in dl, which is
+    exactly what the MaxScore impact bound requires — a new similarity
+    must keep that property or disable pruning."""
+    if sim == "tfidf":
+        return tfidf_contrib(tf, dl, idf)
+    return bm25_contrib(tf, dl, idf, avgdl, k1, b)
+
+
 def _decode_overlapping(blobs: list[bytes], lo: int, hi: int):
     """Decode only blocks whose doc range intersects [lo, hi] (seek/skip)."""
     ds, ts = [], []
@@ -108,9 +126,10 @@ class _ShardScorer:
 
     def __init__(self, k1: float, b: float, topk: int | None, prune: bool,
                  ops: list[dict], n_groups: int, n_must: int, dl_bc=None,
-                 deleted=None):
+                 deleted=None, sim: str = "bm25"):
         self.k1 = k1
         self.b = b
+        self.sim = sim
         self.topk = topk
         self.prune = prune
         self.ops = ops
@@ -310,8 +329,8 @@ class _ShardScorer:
                 )
             else:
                 dl = np.full(int(hit.sum()), op["avgdl"], dtype=np.float64)
-            scores[hit] += op["weight"] * bm25_contrib(
-                tf, dl, op["idf"], op["avgdl"], self.k1, self.b
+            scores[hit] += op["weight"] * sim_contrib(
+                self.sim, tf, dl, op["idf"], op["avgdl"], self.k1, self.b
             )
 
         # --- shard-local top-k -------------------------------------------------
@@ -322,9 +341,14 @@ class _ShardScorer:
 
 
 def _impact_bound(max_tf: float, idf: float, weight: float,
-                  mindl: float, avgdl: float, k1: float, b: float) -> float:
-    """Safe upper bound on a term's BM25 contribution: tf <= max_tf and the
-    tf-normalization is monotone in tf and anti-monotone in dl (dl >= mindl)."""
+                  mindl: float, avgdl: float, k1: float, b: float,
+                  sim: str = "bm25") -> float:
+    """Safe upper bound on a term's contribution: tf <= max_tf and each
+    similarity is monotone in tf and anti-monotone in dl (dl >= mindl)."""
+    if sim == "tfidf":
+        return weight * idf * idf * float(np.sqrt(max_tf)) / float(
+            np.sqrt(max(mindl, 1.0))
+        )
     return weight * idf * max_tf * (k1 + 1.0) / (
         max_tf + k1 * (1.0 - b + b * mindl / avgdl)
     )
@@ -341,7 +365,7 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
        non-essential contributions decoded ONLY for blocks whose block-max
        bound could matter and that overlap the survivor range.
     """
-    k1, b = self.k1, self.b
+    k1, b, sim = self.k1, self.b, self.sim
 
     def full_bound(op):
         mx = max(
@@ -350,7 +374,9 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
              if codec.read_headers(blob).size),
             default=0,
         )
-        return _impact_bound(mx, op["idf"], op["weight"], op["mindl"], op["avgdl"], k1, b)
+        return _impact_bound(
+            mx, op["idf"], op["weight"], op["mindl"], op["avgdl"], k1, b, sim
+        )
 
     def exact(op, cand):
         d, t = _decode_overlapping(
@@ -370,8 +396,8 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
             dl = np.where(dpos >= 0, dl_vals[np.maximum(dpos, 0)], op["avgdl"])
         else:
             dl = np.full(int(hit.sum()), op["avgdl"])
-        out[hit] = op["weight"] * bm25_contrib(
-            tf, dl.astype(np.float64), op["idf"], op["avgdl"], k1, b
+        out[hit] = op["weight"] * sim_contrib(
+            sim, tf, dl.astype(np.float64), op["idf"], op["avgdl"], k1, b
         )
         return out
 
@@ -541,9 +567,12 @@ def search(
             "left",
         )
 
+    sim = getattr(index, "similarity", "bm25")
+    if sim not in ("bm25", "tfidf"):
+        raise ValueError(f"unknown similarity {sim!r} (bm25 | tfidf)")
     scorer = _ShardScorer(
         index.k1, index.b, k, prune, ops, n_groups, n_must, dl_bc=dl_bc,
-        deleted=index.deleted_broadcast(),
+        deleted=index.deleted_broadcast(), sim=sim,
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:

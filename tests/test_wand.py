@@ -62,3 +62,60 @@ def test_maxscore_skips_decode(spark):
     a = [(r["doc_id"], round(r["score"], 10)) for r in eng.search("rare1 common filler", k=5, prune=True).collect()]
     b = [(r["doc_id"], round(r["score"], 10)) for r in eng.search("rare1 common filler", k=5, prune=False).collect()]
     assert a == b and len(a) == 5
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_tfidf_maxscore_equals_exhaustive(spark, seed):
+    """The pluggable TF-IDF similarity keeps MaxScore pruning exact: its
+    impact bound (idf^2*sqrt(max_tf)/sqrt(mindl)) is tf-monotone and
+    dl-anti-monotone like BM25's."""
+    spec = FieldSpec(field="text", source="text")
+    corpus = _random_corpus(spark, 400, seed)
+    eng = PerlinEngine.build(
+        spark, corpus, [spec],
+        pipeline=QueryPipeline(text_spec=spec, text_combinator="any"),
+        n_shards=4, block_size=16, similarity="tfidf",
+    ).cache()
+    rng = random.Random(seed * 100)
+    for _ in range(3):
+        terms = rng.sample(VOCAB, rng.randrange(2, 6))
+        q = " ".join(terms)
+        for k in (3, 10):
+            pruned = [(r["doc_id"], round(r["score"], 10))
+                      for r in eng.search(q, k=k, prune=True).collect()]
+            exact = [(r["doc_id"], round(r["score"], 10))
+                     for r in eng.search(q, k=k, prune=False).collect()]
+            assert pruned == exact, (q, k)
+
+
+def test_tfidf_scores_and_dispatch(spark):
+    """TF-IDF scores equal the hand formula (idf^2*sqrt(tf)/sqrt(dl)),
+    differ from BM25 on the same index, and an unknown similarity fails
+    loudly instead of silently scoring as BM25."""
+    import math
+
+    spec = FieldSpec(field="text", source="text")
+    corpus = spark.createDataFrame(
+        [(0, "apple apple apple banana"), (1, "apple pear"),
+         (2, "banana pear pear kiwi plum fig date elderberry")],
+        "doc_id long, text string",
+    )
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec),
+        n_shards=2, similarity="tfidf",
+    )
+    got = {r["doc_id"]: r["score"] for r in eng.search("apple", k=10).collect()}
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    want = {0: idf * idf * math.sqrt(3) / math.sqrt(4),
+            1: idf * idf * math.sqrt(1) / math.sqrt(2)}
+    assert got.keys() == want.keys()
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, d
+
+    eng.index.similarity = "bm25"
+    bm = {r["doc_id"]: r["score"] for r in eng.search("apple", k=10).collect()}
+    assert bm.keys() == got.keys() and all(abs(bm[d] - got[d]) > 1e-9 for d in bm)
+
+    eng.index.similarity = "zzz"
+    with pytest.raises(ValueError, match="similarity"):
+        eng.search("apple", k=10).collect()

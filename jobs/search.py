@@ -41,6 +41,8 @@ def parse_args(argv):
                             "wildcard", "mlt"],
                    default="bm25")
     p.add_argument("--max-edits", type=int, default=1)
+    p.add_argument("--similarity", choices=["bm25", "tfidf"], default="bm25",
+                   help="ranking similarity (runtime handle attribute)")
     p.add_argument("--window", type=int, default=3,
                    help="near mode: max token span covering all terms")
     p.add_argument("--ordered", action="store_true",
@@ -65,6 +67,7 @@ def main(argv=None) -> int:
     )
     if spec is None:
         raise SystemExit(f"field {args.field!r} not in index ({[s.field for s in idx.specs]})")
+    idx.similarity = args.similarity
     eng = PerlinEngine(idx, QueryPipeline(text_spec=spec, text_combinator=args.combinator))
 
     filters = []

@@ -95,6 +95,71 @@ class PerlinEngine:
             spec = query
         return _search(self.index, spec, k=k, prune=prune)
 
+    def explain_query(
+        self,
+        query: str | QuerySpec,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> dict:
+        """Driver-side query diagnostics (the Lucene ``explain`` shape):
+        exactly the metadata the scorer closure will ship — one row per
+        analyzed op with df / idf / weight / role / combinator and its
+        MaxScore impact bound — plus the physical-plan facts (buckets the
+        scan prunes to, doc-length path, similarity, live-docs state).
+        Costs no Spark job beyond the driver-cached vocab/stats lookups."""
+        from .query import _impact_bound, _query_ops
+        from .spark_hash import bucket_of
+
+        if isinstance(query, str):
+            pl = pipeline or self.pipeline
+            spec = pl.analyze(query, tuple((f.op, f.field, f.term) for f in filters))
+        else:
+            spec = query
+        idx = self.index
+        ratios = {s.field: s.term_doc_ratio for s in idx.specs}
+        for s in idx.specs:
+            if s.number_field:
+                ratios.setdefault(s.number_field, 1.0)
+        ops, n_groups, n_must = _query_ops(spec, ratios)
+        stats = idx.stats_map()
+        pairs = sorted({(op["field"], op["term"]) for op in ops})
+        vocab = idx.vocab_lookup(pairs)
+        sim = getattr(idx, "similarity", "bm25")
+        terms = []
+        for op in ops:
+            df_g, idf = vocab[(op["field"], op["term"])]
+            st = stats.get(op["field"], {"avgdl": 1.0, "mindl": 0})
+            avgdl = max(float(st["avgdl"]), 1e-9)
+            mindl = max(float(st["mindl"]), 0.0)
+            terms.append({
+                "field": op["field"], "term": op["term"], "role": op["role"],
+                "group": op["group"], "combinator": op["comb"],
+                "df": int(df_g), "idf": float(idf),
+                "weight": float(op["weight"]),
+                # the impact bound evaluated at tf=1 (block max_tf values
+                # live shard-side; tf=1 is the floor every match pays)
+                "impact_bound_tf1": float(_impact_bound(
+                    1.0, idf, op["weight"], mindl, avgdl, idx.k1, idx.b, sim
+                )),
+            })
+        deleted = idx.deleted_array()
+        return {
+            "similarity": sim,
+            "k1": idx.k1,
+            "b": idx.b,
+            "n_groups": n_groups,
+            "n_must": n_must,
+            "n_shards": idx.n_shards,
+            "buckets_pruned_to": (
+                sorted({bucket_of(f, t, idx.buckets) for f, t in pairs})
+                if idx.buckets else None
+            ),
+            "dl_path": "broadcast" if idx.dl_broadcast() is not None else "join",
+            "n_deleted": int(deleted.size) if deleted is not None else 0,
+            "positions_sidecar": idx.positions is not None,
+            "terms": terms,
+        }
+
     def search_docs(self, query, k: int = 10, filters=(), pipeline=None) -> DataFrame:
         """Search + join back the docs table (the ``ExternalId`` lookup,
         ``/root/reference/src/document_index.rs:26-35`` as a plain join)."""

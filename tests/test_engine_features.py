@@ -602,3 +602,48 @@ def test_wildcard_search(spark):
                 filters=()), k=10).collect()]
     assert got == want and got
     assert eng.search_wildcard("zzz*", k=10).count() == 0
+
+
+def test_explain_query(spark):
+    """explain_query reports exactly the scorer-closure metadata: per-op
+    df/idf/weight/role with a positive impact bound, the driver-side
+    bucket pruning set, the dl path, similarity, and sidecar state —
+    and reflects runtime changes (similarity swap, tombstones)."""
+    import math
+
+    from perlin_spark import Must
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec],
+        pipeline=QueryPipeline(text_spec=spec, text_combinator="all"),
+        n_shards=2, positions=True,
+    )
+    ex = eng.explain_query("alpha gamma", filters=[Must("text", "beta")])
+    assert ex["similarity"] == "bm25" and ex["n_groups"] == 1 and ex["n_must"] == 1
+    assert ex["dl_path"] in ("broadcast", "join")
+    assert ex["n_deleted"] == 0 and ex["positions_sidecar"] is True
+    assert ex["buckets_pruned_to"] is None  # in-memory build: no buckets
+    by = {(t["field"], t["term"], t["role"]): t for t in ex["terms"]}
+    assert set(by) == {("text", "alpha", "group"), ("text", "gamma", "group"),
+                       ("text", "beta", "must")}
+    a = by[("text", "alpha", "group")]
+    assert a["df"] == 8
+    assert abs(a["idf"] - math.log(1 + (8 - 8 + 0.5) / (8 + 0.5))) < 1e-9
+    g = by[("text", "gamma", "group")]
+    assert g["df"] == 5 and g["idf"] > a["idf"] > 0
+    assert all(t["impact_bound_tf1"] > 0 for t in ex["terms"])
+
+    eng.index.similarity = "tfidf"
+    ex2 = eng.explain_query("alpha gamma")
+    assert ex2["similarity"] == "tfidf"
+    g2 = [t for t in ex2["terms"] if t["term"] == "gamma"][0]
+    # tfidf bound at tf=1: idf^2 / sqrt(mindl); shortest doc is "alpha beta"
+    assert abs(g2["impact_bound_tf1"] - g2["idf"] ** 2 / math.sqrt(2)) < 1e-9
+
+    eng.index.set_deleted(spark.createDataFrame([(0,), (3,)], "doc_id long"))
+    assert eng.explain_query("alpha")["n_deleted"] == 2

@@ -808,6 +808,21 @@ def q_bm25_and_dl_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(_engine_dl_fallback(spark, sf_dir).search("hash join", k=10))
 
 
+BATCH_QUERIES = {"hj": "hash join", "ms": "merge sort"}
+
+
+def q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval (search_many): two conjunctive queries scored in
+    ONE Spark job — one postings scan over the union of terms, per-query
+    shard-local top-k, window head.  The offline hard-negative-mining /
+    decontamination shape."""
+    out = _engine(spark, sf_dir).search_many(BATCH_QUERIES, k=10)
+    return out.select(
+        "query_id", "doc_id",
+        F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_x1e4"),
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pluggable classic TF-IDF similarity (idf^2 * sqrt(tf) /
     sqrt(dl)) on the shared documents index: similarity is a runtime
@@ -876,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_must_filter": q_must_filter,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
         "ft_tfidf_topk": q_tfidf_topk,
+        "ft_batch_search": q_batch_search,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "ft_hierarchy_search": q_hierarchy_search,
         # -- code-corpus gates (AlphaNumericTokenizer + u64 router) --------
@@ -904,7 +920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         # -- ANN ------------------------------------------------------------
         "ann_cosine_topk": q_ann_cosine,
-        "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_pq_topk": q_ann_ivf_pq,
         "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
         "ann_ivf_pq_kmeans": q_ann_ivf_pq_kmeans,
@@ -924,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_props_stats": q_events_props,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ann_ivf_topk": q_ann_ivf,
         "ft_boolean_and_set": q_boolean_and_set,
         "ft_must_not": q_must_not,
         "ft_bm25_or_topk": q_bm25_or,
@@ -1371,6 +1387,19 @@ def _fuzzy_search_oracle(k: int = 10) -> str:
     return _expansion_bm25_body(exp, k)
 
 
+def _batch_search_oracle(k: int = 10) -> str:
+    """Twin of q_batch_search: each batch query's conjunctive-BM25 body
+    (nested-WITH reuse, the _snippets_oracle pattern) tagged with its
+    query_id and unioned."""
+    parts = []
+    for qid, q in BATCH_QUERIES.items():
+        body = _bm25_oracle(q.lower().split(), conj=True, k=k)
+        parts.append(
+            f"SELECT '{qid}' AS query_id, doc_id, score_x1e4 FROM ({body})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def _tfidf_oracle(terms: list[str], k: int = 10) -> str:
     """Twin of q_tfidf_topk: conjunctive candidacy (same as the BM25 AND
     body), scored by the pinned classic formula
@@ -1664,6 +1693,7 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""",
             must=["window"], must_not=["vector"], may=["dup"],
         ),
         "ft_tfidf_topk": _tfidf_oracle(["hash", "join"]),
+        "ft_batch_search": _batch_search_oracle(),
         "ft_boolean_and_set": f"""
 WITH {_TOK}
 SELECT doc_id FROM tfv WHERE term IN ('sort', 'merge', 'window')

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .analysis import FieldSpec, QueryPipeline, QuerySpec
 from .build import IndexData, build_index
-from .query import search as _search
+from .query import search as _search, search_many as _search_many
 
 
 @dataclass(frozen=True)
@@ -159,6 +159,31 @@ class PerlinEngine:
             "positions_sidecar": idx.positions is not None,
             "terms": terms,
         }
+
+    def search_many(
+        self,
+        queries,
+        k: int | None = 10,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Batch retrieval — MANY queries in ONE Spark job ->
+        (query_id, doc_id, score), per-query top-k.  ``queries`` is a
+        dict ``{query_id: query-string-or-QuerySpec}`` or a list (auto
+        ids ``q0, q1, ...``); shared ``filters`` apply to every string
+        query.  The offline shape for hard-negative mining / retrieval
+        decontamination / eval sweeps: one postings scan over the union
+        of all query terms instead of a job per query."""
+        pl = pipeline or self.pipeline
+        if not isinstance(queries, dict):
+            queries = {f"q{i}": q for i, q in enumerate(queries)}
+        filt = tuple((f.op, f.field, f.term) for f in filters)
+        specs = {
+            qid: (q if isinstance(q, QuerySpec) else pl.analyze(q, filt))
+            for qid, q in queries.items()
+        }
+        return _search_many(self.index, specs, k=k, prune=prune)
 
     def search_docs(self, query, k: int = 10, filters=(), pipeline=None) -> DataFrame:
         """Search + join back the docs table (the ``ExternalId`` lookup,

@@ -37,7 +37,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from . import codec
 from .analysis import QuerySpec
@@ -592,3 +598,133 @@ def search(
     # shard emits <= k rows, the driver merges) — no extra sort job
     out = result.orderBy(F.desc("score"), F.asc("doc_id"))
     return out.limit(k) if k is not None else out
+
+
+MULTI_RESULT_SCHEMA = StructType(
+    [
+        StructField("query_id", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def search_many(
+    index: IndexData,
+    queries: dict[str, QuerySpec],
+    k: int | None = 10,
+    prune: bool = True,
+) -> DataFrame:
+    """Batch retrieval: score MANY analyzed queries in ONE Spark job ->
+    (query_id, doc_id, score), per-query ``(score desc, doc_id asc)``
+    top-k.  The offline shape for training-data pipelines (BM25
+    hard-negative mining, retrieval-based decontamination, relevance
+    eval sweeps): amortizes the per-job latency floor across the whole
+    query set instead of paying it per query.
+
+    Plan: ONE postings scan filtered to the union of every query's terms
+    (bucket pruning over the union), one shard-grouped Arrow stage that
+    runs each query's independent scorer against the shard's rows (shard-
+    local top-k per query — a query's terms absent from a shard cost
+    nothing), then a per-query window head over the n_shards*k*|queries|
+    survivor rows.  Queries whose analysis produced no group ops yield no
+    rows (the unknown-term/empty-query contract)."""
+    spark = index.spark
+    sim = getattr(index, "similarity", "bm25")
+    if sim not in ("bm25", "tfidf"):
+        raise ValueError(f"unknown similarity {sim!r} (bm25 | tfidf)")
+    ratios = {s.field: s.term_doc_ratio for s in index.specs}
+    for s in index.specs:
+        if s.number_field:
+            ratios.setdefault(s.number_field, 1.0)
+
+    per_q: dict[str, tuple[list[dict], int, int]] = {}
+    all_pairs: set[tuple[str, str]] = set()
+    for qid, spec in queries.items():
+        ops, n_groups, n_must = _query_ops(spec, ratios)
+        if not any(op["role"] == "group" for op in ops):
+            continue
+        per_q[str(qid)] = (ops, n_groups, n_must)
+        all_pairs |= {(op["field"], op["term"]) for op in ops}
+    if not per_q:
+        return spark.createDataFrame([], MULTI_RESULT_SCHEMA)
+
+    stats = index.stats_map()
+    pairs = sorted(all_pairs)
+    vocab = index.vocab_lookup(pairs)
+    for ops, _, _ in per_q.values():
+        for op in ops:
+            df_g, idf = vocab[(op["field"], op["term"])]
+            st = stats.get(op["field"], {"avgdl": 1.0, "mindl": 0})
+            op["df"] = df_g
+            op["idf"] = idf
+            op["avgdl"] = max(float(st["avgdl"]), 1e-9)
+            op["mindl"] = max(float(st["mindl"]), 0.0)
+
+    fields_needed = sorted({f for f, _ in pairs})
+    postings = index.postings
+    if index.buckets:
+        from .spark_hash import bucket_of
+
+        need = sorted({bucket_of(f, t, index.buckets) for f, t in pairs})
+        postings = postings.filter(F.col("bucket").isin(need))
+    by_field: dict[str, list[str]] = {}
+    for f, t in pairs:
+        by_field.setdefault(f, []).append(t)
+    cond = None
+    for f, terms in by_field.items():
+        c = (F.col("field") == f) & F.col("term").isin(terms)
+        cond = c if cond is None else (cond | c)
+    matched = postings.filter(cond).select("field", "term", "shard", "epoch", "blob")
+    dl_bc = index.dl_broadcast()
+    if dl_bc is None:
+        dls = index.doc_lens.filter(F.col("field").isin(fields_needed)).select(
+            F.col("field").alias("dl_field"),
+            F.col("shard").alias("dl_shard"),
+            F.col("blob").alias("dl_blob"),
+        )
+        matched = matched.join(
+            F.broadcast(dls),
+            (F.col("field") == F.col("dl_field")) & (F.col("shard") == F.col("dl_shard")),
+            "left",
+        )
+
+    deleted = index.deleted_broadcast()
+    scorers = [
+        (qid, _ShardScorer(index.k1, index.b, k, prune, ops, n_groups, n_must,
+                           dl_bc=dl_bc, deleted=deleted, sim=sim))
+        for qid, (ops, n_groups, n_must) in per_q.items()
+    ]
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, sc in scorers:
+            r = sc(pdf)  # each scorer ignores rows of other queries' terms
+            if len(r):
+                r = r.copy()
+                r.insert(0, "query_id", qid)
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    if not index._shard_layout:
+        matched = matched.repartition(index.n_shards, "shard")
+    scored = matched.groupBy("shard").applyInPandas(run, MULTI_RESULT_SCHEMA)
+    if k is None:
+        return scored.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    # per-query head over shard-local top-k survivors: <= n_shards*k rows
+    # per query reach the window, so the partitionBy shuffle is tiny
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

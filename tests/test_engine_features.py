@@ -647,3 +647,45 @@ def test_explain_query(spark):
 
     eng.index.set_deleted(spark.createDataFrame([(0,), (3,)], "doc_id long"))
     assert eng.explain_query("alpha")["n_deleted"] == 2
+
+
+def test_search_many_batch_parity(spark):
+    """Batch retrieval returns EXACTLY the per-query search results for
+    every query in one job — including unknown-term and empty queries
+    (no rows), shared filters, list inputs (auto ids), k=None, and
+    tombstones; per-query order is (score desc, doc_id asc)."""
+    from perlin_spark import Must
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} " + ("dup " if i % 2 else "gamma "))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec],
+        pipeline=QueryPipeline(text_spec=spec, text_combinator="all"),
+        n_shards=3,
+    ).cache()
+
+    qs = {"a": "alpha gamma", "b": "w1 dup", "c": "zzz", "d": "", "e": "alpha"}
+    rows = eng.search_many(qs, k=4).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in eng.search(q, k=4).collect()]
+        assert got.get(qid, []) == want, qid
+    assert "c" not in got and "d" not in got
+
+    # list input (auto ids), filters, k=None
+    b = eng.search_many(["alpha"], k=None, filters=[Must("text", "dup")]).collect()
+    w = eng.search("alpha", k=None, filters=[Must("text", "dup")]).collect()
+    assert [r["doc_id"] for r in b] == [r["doc_id"] for r in w]
+    assert all(r["query_id"] == "q0" for r in b)
+
+    # tombstones apply to every query in the batch
+    eng.index.set_deleted(spark.createDataFrame([(1,), (3,)], "doc_id long"))
+    b2 = {r["doc_id"] for r in eng.search_many({"x": "dup"}, k=None).collect()}
+    assert b2 and not b2 & {1, 3}

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from perlin_spark import FieldSpec, Must, MustNot, PerlinEngine, QueryPipeline
+from perlin_spark import FieldSpec, Must, MustNot, PerlinEngine, QueryPipeline, Range
 from perlin_spark import codec
 from perlin_spark.extras import dedup, events, fusion, similarity, textstats
 
@@ -527,6 +527,15 @@ def q_code_must_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(eng.search("merge", k=10, filters=[Must("number", "42")]))
 
 
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with a numeric Range filter: vocabulary expansion of the
+    in-range u64 values -> one zero-weight Any group (engine.Range).
+    Gates both the decimal(20,0) vocabulary expansion and the must_any
+    score-invariance (scores must equal the unfiltered query's)."""
+    eng = _code_engine(spark, sf_dir)
+    return _score_x1e4(eng.search("merge", k=10, filters=[Range("number", 100, 300)]))
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN, pure ADC over seeded codebooks (m=8, ks=16): the whole
     pipeline — unit-normalize, per-subspace nearest-centroid encode,
@@ -899,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_code_vocabulary": q_code_vocabulary,
         "ft_code_bm25_topk": q_code_bm25,
         "ft_code_must_number": q_code_must_number,
+        "ft_range_filter": q_range_filter,
         # -- search features ------------------------------------------------
         "ft_prefix_search": q_prefix_search,
         "ft_fuzzy_search": q_fuzzy_search,
@@ -937,8 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
-        "events_props_stats": q_events_props,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "events_props_stats": q_events_props,
         "ann_ivf_topk": q_ann_ivf,
         "ft_boolean_and_set": q_boolean_and_set,
         "ft_must_not": q_must_not,
@@ -1064,12 +1074,18 @@ cst AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
 
 
 def _bm25_code_oracle(terms: list[str], k: int = 10,
-                      must_number: str | None = None) -> str:
+                      must_number: str | None = None,
+                      must_range: tuple[int, int] | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     must_sql = ""
     if must_number is not None:
         must_sql = f"""
   AND doc_id IN (SELECT doc_id FROM ctf WHERE field = 'number' AND term = '{must_number}')"""
+    if must_range is not None:
+        lo, hi = must_range
+        must_sql += f"""
+  AND doc_id IN (SELECT doc_id FROM ctf WHERE field = 'number'
+                 AND TRY_CAST(term AS UBIGINT) BETWEEN {lo} AND {hi})"""
     return f"""
 WITH {_TOK_CODE},
 qt AS (SELECT unnest([{tlist}]) AS term),
@@ -1936,6 +1952,7 @@ FROM crouted GROUP BY 1, 2""",
         "ft_code_ident_bm25": _ident_bm25_oracle(),
         "ft_code_bm25_topk": _bm25_code_oracle(["hash", "join"]),
         "ft_code_must_number": _bm25_code_oracle(["merge"], must_number="42"),
+        "ft_range_filter": _bm25_code_oracle(["merge"], must_range=(100, 300)),
     }
 
 

@@ -10,7 +10,7 @@ the relational work and the data-level algorithms stay vectorized.
 
 from .analysis import FieldSpec, QueryPipeline, QuerySpec
 from .build import IndexData, assign_doc_ids, build_index
-from .engine import May, Must, MustNot, PerlinEngine
+from .engine import May, Must, MustNot, PerlinEngine, Range
 from .epochs import (
     add_field,
     add_positions,
@@ -35,6 +35,7 @@ __all__ = [
     "Must",
     "MustNot",
     "May",
+    "Range",
     "Hierarchy",
     "add_field",
     "add_positions",

@@ -376,7 +376,9 @@ class QuerySpec:
     intersection (strict AND across analyzed query terms — SURVEY.md §2.4).
     ``filters`` is ``[(op, field, term), ...]`` with op in
     {'must', 'must_not', 'may'} (``ChainingOperator``,
-    ``src/query/mod.rs:14-19``).
+    ``src/query/mod.rs:14-19``), plus ``('must_any', field, (terms...))``
+    — an expanded :class:`~perlin_spark.engine.Range` filter: candidates
+    must hold ANY of the tuple's terms (zero score contribution).
     """
 
     groups: tuple = ()

@@ -50,6 +50,23 @@ class May:
     op: str = "may"
 
 
+@dataclass(frozen=True)
+class Range:
+    """Numeric range filter over a routed number field: results restricted
+    to docs holding ANY integer term with value in ``[lo, hi]`` (both
+    inclusive).  The reference's ``#[filter]`` u64 field
+    (``/root/reference/src/document_index.rs:60-69``) matches exact values
+    only; a range is its natural extension — expanded against the
+    vocabulary into the set of in-range values actually present, then run
+    as one zero-weight Any-group (restricts candidates, never perturbs
+    BM25 scores)."""
+
+    field: str
+    lo: int
+    hi: int
+    op: str = "must_range"
+
+
 class PerlinEngine:
     """A built index + its query pipeline."""
 
@@ -76,9 +93,66 @@ class PerlinEngine:
         self.index.cache()
         return self
 
+    #: range-expansion cap — a Range filter REFUSES (never silently
+    #: truncates, which would widen the result set) past this many distinct
+    #: in-range vocabulary values; remedy: split the range, or bucket the
+    #: numeric field at index time so a range is few coarse terms
+    RANGE_MAX_TERMS = 512
+
+    def expand_range(
+        self, field: str, lo: int, hi: int, max_terms: int = RANGE_MAX_TERMS
+    ) -> list[str]:
+        """Distinct vocabulary values of the routed number ``field`` inside
+        ``[lo, hi]``, value-ascending.  Number terms are canonical decimal
+        strings (analysis.py u64 router), so ``cast(term as decimal(20,0))``
+        — wide enough for 2^64-1 — is exact; the cast+range predicate
+        reaches the vocabulary scan and the driver receives <= max_terms+1
+        rows (refusal past the cap, tombstone-cap discipline,
+        build.py:249-283)."""
+        u64_max = 18446744073709551615
+        lo, hi = max(int(lo), 0), min(int(hi), u64_max)
+        if lo > hi:
+            return []
+        val = F.col("term").cast("decimal(20,0)")
+        # bounds ride as decimal literals (a plain int above 2^63-1 would
+        # overflow the py4j long conversion)
+        lo_l = F.lit(str(lo)).cast("decimal(20,0)")
+        hi_l = F.lit(str(hi)).cast("decimal(20,0)")
+        rows = (
+            self.index.vocabulary.filter(
+                (F.col("field") == field)
+                & val.isNotNull()
+                & (val >= lo_l)
+                & (val <= hi_l)
+            )
+            .select("term")
+            .orderBy(F.asc(val), F.asc("term"))
+            .limit(max_terms + 1)
+            .collect()
+        )
+        if len(rows) > max_terms:
+            raise ValueError(
+                f"Range({field}, {lo}, {hi}) expands to more than "
+                f"{max_terms} distinct values; split the range or index "
+                f"a bucketed companion field for coarse range filtering"
+            )
+        return [r["term"] for r in rows]
+
+    def _filter_tuples(self, filters) -> tuple:
+        """Filter objects -> QuerySpec filter tuples; Range filters expand
+        against the vocabulary here (one tiny driver-side scan each)."""
+        out = []
+        for f in filters:
+            if isinstance(f, Range):
+                out.append(
+                    ("must_any", f.field, tuple(self.expand_range(f.field, f.lo, f.hi)))
+                )
+            else:
+                out.append((f.op, f.field, f.term))
+        return tuple(out)
+
     def analyze_query(self, query: str, filters=()) -> QuerySpec:
-        filt = tuple((f.op, f.field, f.term) for f in filters)
-        return self.pipeline.analyze(query, filt)
+        return self.pipeline.analyze(query, self._filter_tuples(filters))
 
     def search(
         self,
@@ -90,7 +164,7 @@ class PerlinEngine:
     ) -> DataFrame:
         if isinstance(query, str):
             pl = pipeline or self.pipeline
-            spec = pl.analyze(query, tuple((f.op, f.field, f.term) for f in filters))
+            spec = pl.analyze(query, self._filter_tuples(filters))
         else:
             spec = query
         return _search(self.index, spec, k=k, prune=prune)
@@ -112,7 +186,7 @@ class PerlinEngine:
 
         if isinstance(query, str):
             pl = pipeline or self.pipeline
-            spec = pl.analyze(query, tuple((f.op, f.field, f.term) for f in filters))
+            spec = pl.analyze(query, self._filter_tuples(filters))
         else:
             spec = query
         idx = self.index
@@ -178,7 +252,7 @@ class PerlinEngine:
         pl = pipeline or self.pipeline
         if not isinstance(queries, dict):
             queries = {f"q{i}": q for i, q in enumerate(queries)}
-        filt = tuple((f.op, f.field, f.term) for f in filters)
+        filt = self._filter_tuples(filters)
         specs = {
             qid: (q if isinstance(q, QuerySpec) else pl.analyze(q, filt))
             for qid, q in queries.items()

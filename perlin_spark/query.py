@@ -490,6 +490,19 @@ def _query_ops(query: QuerySpec, ratios: dict[str, float]) -> tuple[list[dict], 
     filters = list(dict.fromkeys(query.filters))
     n_must = sum(1 for op, _, _ in filters if op == "must")
     for fid, (op, field, term) in enumerate(filters):
+        if op == "must_any":
+            # expanded Range filter (engine.Range): candidates must hold
+            # ANY of these terms — a zero-weight Any group, so the group
+            # machinery restricts without perturbing scores.  An EMPTY
+            # expansion still counts a group: nothing in the index is in
+            # range, so the whole query matches nothing (the unknown-term
+            # semantics, src/document_index.rs:145).
+            n_groups += 1
+            for t in dict.fromkeys(term):
+                ops.append({"field": field, "term": t, "role": "group",
+                            "group": 2000 + fid, "comb": "any",
+                            "gsize": len(term), "weight": 0.0})
+            continue
         ops.append({"field": field, "term": term, "role": op,
                     "group": 1000 + fid, "comb": "any", "gsize": 1,
                     "weight": 1.0 / ratios.get(field, 1.0)})

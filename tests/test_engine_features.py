@@ -689,3 +689,65 @@ def test_search_many_batch_parity(spark):
     eng.index.set_deleted(spark.createDataFrame([(1,), (3,)], "doc_id long"))
     b2 = {r["doc_id"] for r in eng.search_many({"x": "dup"}, k=None).collect()}
     assert b2 and not b2 & {1, 3}
+
+
+# --- Range filter (engine.Range -> must_any zero-weight group) ------------
+
+@pytest.fixture(scope="module")
+def range_engine(spark):
+    from perlin_spark.analysis import reference_specs
+    from perlin_spark.fixtures import golden_corpus
+
+    eng = PerlinEngine.build(
+        spark, golden_corpus(spark), reference_specs(), n_shards=2, block_size=4
+    ).cache()
+    eng.pipeline = QueryPipeline(
+        text_spec=FieldSpec(
+            field="text", source="text", stem=True, number_field="number"
+        ),
+        text_combinator="all",
+        number_combinator="any",
+    )
+    return eng
+
+
+def test_range_filter_restricts(range_engine):
+    from perlin_spark import Range
+
+    # golden numbers: doc0=10, doc1=125, doc2=2567 (FIXTURES.md §3)
+    hits = range_engine.search("flew", k=10, filters=[Range("number", 100, 3000)])
+    assert sorted(r["doc_id"] for r in hits.collect()) == [1, 2]
+    hits = range_engine.search("flew", k=10, filters=[Range("number", 11, 124)])
+    assert hits.collect() == []
+
+
+def test_range_filter_score_invariant(range_engine):
+    """A Range filter restricts candidates but must not perturb BM25."""
+    from perlin_spark import Range
+
+    base = {r["doc_id"]: r["score"]
+            for r in range_engine.search("flew", k=10).collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in range_engine.search(
+               "flew", k=10, filters=[Range("number", 100, 3000)]).collect()}
+    assert got == {d: base[d] for d in (1, 2)}
+
+
+def test_range_only_query(range_engine):
+    """No text group: pure range scan, score 0, doc_id-ascending ties."""
+    from perlin_spark import Range
+
+    rows = range_engine.search("", k=10, filters=[Range("number", 0, 200)]).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1]
+    assert all(r["score"] == 0.0 for r in rows)
+
+
+def test_range_boundary_and_cap(range_engine):
+    from perlin_spark import Range
+
+    # inclusive bounds: [10, 125] holds both endpoints
+    rows = range_engine.search("", k=10, filters=[Range("number", 10, 125)]).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1]
+    assert range_engine.expand_range("number", 0, 10**19) == ["10", "125", "2567"]
+    with pytest.raises(ValueError, match="split the range"):
+        range_engine.expand_range("number", 0, 10**19, max_terms=2)

@@ -527,6 +527,37 @@ def q_code_must_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(eng.search("merge", k=10, filters=[Must("number", "42")]))
 
 
+FIELDED_BOOSTS = {"text": 1.0, "head": 2.5}
+
+
+def _fielded_engine(spark: SparkSession, sf_dir: str) -> PerlinEngine:
+    """Two-field engine: full text plus a 'head' field (first 120 chars) —
+    the lead-boost shape (title/abstract weighting) with a SQL-derivable
+    second field so search_fields is hash-gatable end-to-end."""
+    key = f"fielded:{sf_dir}"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        docs = _docs(spark, sf_dir).withColumn("head", F.substring("text", 1, 120))
+        specs = [
+            FieldSpec(field="text", source="text"),
+            FieldSpec(field="head", source="head"),
+        ]
+        eng = PerlinEngine.build(
+            spark, docs, specs,
+            pipeline=QueryPipeline(text_spec=specs[0]), n_shards=4,
+        ).cache()
+        _ENGINES[key] = eng
+    return eng
+
+
+def q_fielded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted multi-field search (engine.search_fields): one Any
+    group spanning (text, head) with per-field boosts — gates the
+    field-aware MaxScore path plus per-field dl normalization/idf."""
+    eng = _fielded_engine(spark, sf_dir)
+    return _score_x1e4(eng.search_fields("dup stream vector", FIELDED_BOOSTS, k=10))
+
+
 def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with a numeric Range filter: vocabulary expansion of the
     in-range u64 values -> one zero-weight Any group (engine.Range).
@@ -909,8 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_code_bm25_topk": q_code_bm25,
         "ft_code_must_number": q_code_must_number,
         "ft_range_filter": q_range_filter,
+        "ft_fielded_bm25": q_fielded_bm25,
         # -- search features ------------------------------------------------
-        "ft_prefix_search": q_prefix_search,
         "ft_fuzzy_search": q_fuzzy_search,
         "ft_wildcard_search": q_wildcard_search,
         "ft_phrase_search": q_phrase_search,
@@ -948,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_prefix_search": q_prefix_search,
         "events_props_stats": q_events_props,
         "ann_ivf_topk": q_ann_ivf,
         "ft_boolean_and_set": q_boolean_and_set,
@@ -1070,6 +1102,45 @@ ctf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM crouted GROUP BY
 cdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM ctf WHERE field = 'content' GROUP BY 1),
 cst AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
                (SELECT avg(dl) FROM cdl)::DOUBLE AS avgdl)
+"""
+
+
+def _fielded_oracle(terms: list[str], k: int = 10) -> str:
+    """Replicates q_fielded_bm25: per-field tokenize (text + its first-120
+    chars 'head'), per-field df/idf/avgdl, boosted contributions summed —
+    candidacy is ANY (field, term) match."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tb, hb = FIELDED_BOOSTS["text"], FIELDED_BOOSTS["head"]
+    return f"""
+WITH docs2 AS (SELECT doc_id, text, substr(text, 1, 120) AS head FROM documents),
+ttok AS (SELECT doc_id, lower(t.tok) AS term
+         FROM docs2, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t(tok)),
+htok AS (SELECT doc_id, lower(t.tok) AS term
+         FROM docs2, unnest(list_filter(regexp_split_to_array(head, '\\s+'), x -> x <> '')) AS t(tok)),
+ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttok GROUP BY 1, 2),
+htf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM htok GROUP BY 1, 2),
+tdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ttok GROUP BY 1),
+hdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM htok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              (SELECT avg(dl) FROM tdl)::DOUBLE AS t_avgdl,
+              (SELECT avg(dl) FROM hdl)::DOUBLE AS h_avgdl),
+qt AS (SELECT unnest([{tlist}]) AS term),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM ttf JOIN qt USING (term) GROUP BY 1),
+hdf AS (SELECT term, count(*)::BIGINT AS df FROM htf JOIN qt USING (term) GROUP BY 1),
+tsc AS (SELECT m.doc_id,
+               sum({tb} * ln(1 + ((SELECT n FROM st) - q.df + 0.5) / (q.df + 0.5))
+                   * m.tf * 2.2
+                   / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT t_avgdl FROM st)))) AS s
+        FROM ttf m JOIN tdf q USING (term) JOIN tdl d USING (doc_id) GROUP BY 1),
+hsc AS (SELECT m.doc_id,
+               sum({hb} * ln(1 + ((SELECT n FROM st) - q.df + 0.5) / (q.df + 0.5))
+                   * m.tf * 2.2
+                   / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT h_avgdl FROM st)))) AS s
+        FROM htf m JOIN hdf q USING (term) JOIN hdl d USING (doc_id) GROUP BY 1),
+allsc AS (SELECT doc_id, sum(s) AS score
+          FROM (SELECT * FROM tsc UNION ALL SELECT * FROM hsc) GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM allsc ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -1953,6 +2024,7 @@ FROM crouted GROUP BY 1, 2""",
         "ft_code_bm25_topk": _bm25_code_oracle(["hash", "join"]),
         "ft_code_must_number": _bm25_code_oracle(["merge"], must_number="42"),
         "ft_range_filter": _bm25_code_oracle(["merge"], must_range=(100, 300)),
+        "ft_fielded_bm25": _fielded_oracle(["dup", "stream", "vector"]),
     }
 
 

@@ -267,6 +267,36 @@ class PerlinEngine:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def search_fields(
+        self,
+        query: str,
+        boosts: dict[str, float],
+        k: int | None = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Field-weighted multi-field search (the Lucene multi-field /
+        BM25F-lite shape): the query is analyzed through EACH boosted
+        field's own pipeline (a stemmed body and an unstemmed title each
+        see their own normal form), a doc matches if ANY field matches,
+        and each matching (field, term) contributes
+        ``boost * idf * sim(tf, dl_field)`` — per-field length
+        normalization.  Number-routed query tokens are ignored here (use
+        :class:`Must`/:class:`Range` filters for the number field).  Same
+        single-stage plan as :meth:`search`."""
+        from .query import search_fielded as _search_fielded
+
+        specs_by_field = {s.field: s for s in self.index.specs}
+        triples: list[tuple[str, str, float]] = []
+        for field, boost in boosts.items():
+            spec = specs_by_field.get(field)
+            if spec is None:
+                raise KeyError(
+                    f"no indexed field {field!r}; have {sorted(specs_by_field)}"
+                )
+            for t in self._analyze_ordered(query, spec):
+                triples.append((field, t, float(boost)))
+        return _search_fielded(self.index, triples, k=k, prune=prune)
+
     def frequent_terms(self, field: str, k: int | None = None) -> DataFrame:
         return self.index.frequent_terms(field, k)
 

@@ -536,6 +536,51 @@ def search(
             ratios.setdefault(s.number_field, 1.0)
 
     ops, n_groups, n_must = _query_ops(query, ratios)
+    return _execute_ops(index, ops, n_groups, n_must, k=k, prune=prune)
+
+
+def search_fielded(
+    index: IndexData,
+    field_terms: list[tuple[str, str, float]],
+    k: int | None = 10,
+    prune: bool = True,
+) -> DataFrame:
+    """Field-weighted disjunctive search (BM25F-lite / dismax family):
+    ``field_terms`` is ``[(field, term, boost), ...]``; a doc matches if
+    ANY pair matches, and scores the sum over its matching pairs of
+    ``boost/ratio * idf(field, term) * sim(tf, dl_field)`` — per-field
+    document-length normalization and per-field idf, the simplified BM25F
+    shape.  One Any group spanning fields, so the plan is the same
+    single-stage job as :func:`search` (MaxScore fast path included — the
+    scorer and its block-max bounds are already per-op field-aware)."""
+    ratios = {s.field: s.term_doc_ratio for s in index.specs}
+    for s in index.specs:
+        if s.number_field:
+            ratios.setdefault(s.number_field, 1.0)
+    uniq: dict[tuple[str, str], float] = {}
+    for field, term, boost in field_terms:
+        # a pair repeated across boosts scores once, at its max boost
+        uniq[(field, term)] = max(uniq.get((field, term), 0.0), float(boost))
+    ops = [
+        {"field": f, "term": t, "role": "group", "group": 0, "comb": "any",
+         "gsize": len(uniq), "weight": b / ratios.get(f, 1.0)}
+        for (f, t), b in uniq.items()
+    ]
+    return _execute_ops(index, ops, 1 if ops else 0, 0, k=k, prune=prune)
+
+
+def _execute_ops(
+    index: IndexData,
+    ops: list[dict],
+    n_groups: int,
+    n_must: int,
+    k: int | None,
+    prune: bool,
+) -> DataFrame:
+    """Shared execution tail: op metadata enrichment (driver-cached vocab +
+    stats), bucket-pruned postings scan, shard-grouped Arrow scorer, global
+    top-k — ONE single-stage Spark job on the serving layout."""
+    spark = index.spark
     if not any(op["role"] == "group" for op in ops):
         return spark.createDataFrame([], RESULT_SCHEMA)
 

@@ -751,3 +751,44 @@ def test_range_boundary_and_cap(range_engine):
     assert range_engine.expand_range("number", 0, 10**19) == ["10", "125", "2567"]
     with pytest.raises(ValueError, match="split the range"):
         range_engine.expand_range("number", 0, 10**19, max_terms=2)
+
+
+# --- Field-weighted multi-field search (search_fields / BM25F-lite) -------
+
+def test_search_fields_single_field_parity(range_engine):
+    """boost=1.0 over one field == the plain Any-combinator query."""
+    pl = QueryPipeline(
+        text_spec=FieldSpec(
+            field="text", source="text", stem=True, number_field="number"
+        ),
+        text_combinator="any",
+    )
+    want = [(r["doc_id"], r["score"])
+            for r in range_engine.search("birds flew", k=10, pipeline=pl).collect()]
+    got = [(r["doc_id"], r["score"])
+           for r in range_engine.search_fields("birds flew", {"text": 1.0}, k=10).collect()]
+    assert got == want and len(got) == 3
+
+
+def test_search_fields_union_and_boost_linearity(range_engine):
+    """A doc matching in ANY boosted field is a hit, and a field's
+    contribution scales linearly in its boost."""
+    def score2(tb):
+        rows = range_engine.search_fields(
+            "deimos", {"text": 1.0, "title": tb}, k=10).collect()
+        return {r["doc_id"]: r["score"] for r in rows}
+
+    s0, s1, s2 = score2(0.0), score2(1.0), score2(2.0)
+    # doc2 holds 'deimos' in text AND title (golden corpus)
+    assert set(s0) == set(s1) == set(s2) == {2}
+    title_part = s1[2] - s0[2]
+    assert title_part > 0
+    assert s2[2] - s0[2] == pytest.approx(2 * title_part)
+
+
+def test_search_fields_title_only_and_unknown_field(range_engine):
+    rows = range_engine.search_fields("unicorns", {"title": 3.0}, k=10).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    with pytest.raises(KeyError, match="no indexed field"):
+        range_engine.search_fields("x", {"nope": 1.0})
+    assert range_engine.search_fields("", {"text": 1.0}, k=10).collect() == []

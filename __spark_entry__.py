@@ -373,6 +373,15 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate segment removal (the MassiveText /
+    RefinedWeb intra-corpus repetition filter): non-overlapping 16-token
+    segments repeated across >= 2 distinct docs are dropped from all of
+    them; the corpus' exact-duplicate docs guarantee the gate is
+    non-trivial (their every segment is boilerplate)."""
+    return textstats.segment_dedup(_docs(spark, sf_dir))
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 MIXTURE_DEFAULT = 0.1
 
@@ -973,12 +982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_repetition,
         "text_decontaminate": q_decontaminate,
         "text_pack_sequences": q_pack_sequences,
-        "text_chunk_documents": q_chunk_documents,
+        "text_segment_dedup": q_segment_dedup,
         "text_mixture_sample": q_mixture_sample,
         # -- events ----------------------------------------------------------
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "text_chunk_documents": q_chunk_documents,
         "ft_prefix_search": q_prefix_search,
         "events_props_stats": q_events_props,
         "ann_ivf_topk": q_ann_ivf,
@@ -1970,6 +1980,7 @@ WHERE b.h < CAST(floor({DECON_TRAIN_RATE} * 4294967296) AS BIGINT)
   AND NOT EXISTS (SELECT 1 FROM hits x WHERE x.doc_id = b.doc_id)""",
         "text_pack_sequences": _PACK_SQL,
         "text_chunk_documents": _chunk_documents_oracle(),
+        "text_segment_dedup": _segment_dedup_oracle(),
         "text_mixture_sample": _mixture_oracle(),
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
@@ -2155,6 +2166,34 @@ SELECT doc_id, chunk_id,
        least({c}, n - chunk_id * {s})::BIGINT AS n_tokens,
        array_to_string(toks[chunk_id * {s} + 1 : chunk_id * {s} + {c}], ' ') AS chunk
 FROM c"""
+
+
+def _segment_dedup_oracle() -> str:
+    """Twin of textstats.segment_dedup at the pinned SEG_TOKENS /
+    SEG_MIN_DOCS: non-overlapping segments, boilerplate = segment text in
+    >= min_docs distinct docs, survivors rejoin in seg_id order (grouping
+    on the segment TEXT here is equivalent to the Spark side's sha256
+    keys)."""
+    w, m = textstats.SEG_TOKENS, textstats.SEG_MIN_DOCS
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+segs AS (
+  SELECT doc_id, g.i::BIGINT AS seg_id,
+         array_to_string(toks[g.i * {w} + 1 : g.i * {w} + {w}], ' ') AS seg
+  FROM n, unnest(generate_series(0, CAST(ceil(n / {w}.0) AS BIGINT) - 1)) AS g(i)),
+boiler AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= {m}),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_segments FROM segs GROUP BY 1),
+keep AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_id) AS text_clean
+        FROM keep GROUP BY 1)
+SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean, t.n_segments,
+       (t.n_segments - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+FROM tot t LEFT JOIN reb r USING (doc_id)"""
 
 
 def _mixture_oracle() -> str:

@@ -419,6 +419,84 @@ def chunk_documents(
     )
 
 
+SEG_TOKENS = 16     # tokens per boilerplate segment — operator contract
+SEG_MIN_DOCS = 2    # a segment in >= this many DISTINCT docs is boilerplate
+
+
+def segment_dedup(
+    documents: DataFrame,
+    seg_tokens: int = SEG_TOKENS,
+    min_docs: int = SEG_MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, text_clean, n_segments, n_dropped) — cross-document
+    boilerplate removal, the intra-corpus repetition filter of the
+    MassiveText/RefinedWeb pretraining recipes: every non-overlapping
+    ``seg_tokens``-token segment (final segment = remainder) whose EXACT
+    text occurs in >= ``min_docs`` distinct documents is dropped from ALL
+    of them; surviving segments rejoin in order (single spaces — the
+    corpus tokenizer's normal form).  Docs whose every segment is
+    boilerplate survive with ``text_clean = ''`` (removal is a content
+    edit, never a doc filter — chain :func:`filter_corpus` for that).
+
+    100-TB shape: segment construction is the :func:`chunk_documents`
+    narrow pass (split/sequence/posexplode/slice — no shuffle); the
+    boilerplate census shuffles sha256(segment) keys (32-byte digests,
+    never full segment text, exact-dedup discipline of
+    extras/dedup.py:84-101); the rebuild re-keys by doc_id.  No driver
+    collect anywhere, no window over the corpus."""
+    toks = _tokens()
+    t = documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    n_segs = F.ceil(F.col("n") / F.lit(seg_tokens)).cast("long")
+    segs = (
+        t.select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("long").alias("seg_id"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    (F.col("seg_id") * seg_tokens + 1).cast("int"),
+                    seg_tokens,
+                ),
+                " ",
+            ).alias("seg"),
+        )
+        .withColumn("seg_sha", F.sha2(F.col("seg"), 256))
+    )
+    boiler = (
+        segs.groupBy("seg_sha")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg_sha")
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    keep = segs.join(boiler, "seg_sha", "left_anti")
+    rebuilt = keep.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.col("n_segments"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def mixture_sample(
     documents: DataFrame,
     rates: dict[str, float],

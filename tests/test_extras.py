@@ -1157,3 +1157,32 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         textstats.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_segment_dedup(spark):
+    from perlin_spark.extras import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c x y z"),
+            (1, "a b c q r"),
+            (2, "u v w"),
+            (3, "a b c"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_segments"], r["n_dropped"])
+        for r in textstats.segment_dedup(docs, seg_tokens=3, min_docs=2).collect()
+    }
+    # "a b c" occurs in docs 0,1,3 -> boilerplate, dropped everywhere
+    assert out[0] == ("x y z", 2, 1)
+    assert out[1] == ("q r", 2, 1)
+    assert out[2] == ("u v w", 1, 0)      # unique content untouched
+    assert out[3] == ("", 1, 1)           # all-boiler doc kept, emptied
+    assert 4 not in out                   # empty doc has no segments
+    # min_docs above the max multiplicity -> nothing dropped
+    out3 = {r["doc_id"]: r["n_dropped"]
+            for r in textstats.segment_dedup(docs, seg_tokens=3, min_docs=4).collect()}
+    assert set(out3.values()) == {0}

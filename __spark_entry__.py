@@ -373,6 +373,32 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic synthetic PII (the corpus has none):
+    emails on doc_id%3, URLs on %4, IPv4 on %5 — the oracle applies the
+    identical concatenation."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(F.lit(" user"), ds, F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.concat(F.lit(" https://ex.io/p/"), ds))
+            .otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.concat(F.lit(" 10.0.0."), (d % 256).cast("string")))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: URL -> email -> IPv4 replacement with per-stage counts,
+    all chained regexp expressions in one narrow JVM pass."""
+    return textstats.redact_pii(_pii_docs(spark, sf_dir))
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate segment removal (the MassiveText /
     RefinedWeb intra-corpus repetition filter): non-overlapping 16-token
@@ -954,7 +980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_search": q_fuzzy_search,
         "ft_wildcard_search": q_wildcard_search,
         "ft_phrase_search": q_phrase_search,
-        "ft_near_search": q_near_search,
         "ft_facet_counts": q_facet_counts,
         "ft_more_like_this": q_more_like_this,
         "ft_snippets": q_snippets,
@@ -983,11 +1008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_decontaminate,
         "text_pack_sequences": q_pack_sequences,
         "text_segment_dedup": q_segment_dedup,
+        "text_redact_pii": q_redact_pii,
         "text_mixture_sample": q_mixture_sample,
         # -- events ----------------------------------------------------------
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_near_search": q_near_search,
         "text_chunk_documents": q_chunk_documents,
         "ft_prefix_search": q_prefix_search,
         "events_props_stats": q_events_props,
@@ -1981,6 +2008,7 @@ WHERE b.h < CAST(floor({DECON_TRAIN_RATE} * 4294967296) AS BIGINT)
         "text_pack_sequences": _PACK_SQL,
         "text_chunk_documents": _chunk_documents_oracle(),
         "text_segment_dedup": _segment_dedup_oracle(),
+        "text_redact_pii": _redact_pii_oracle(),
         "text_mixture_sample": _mixture_oracle(),
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
@@ -2166,6 +2194,31 @@ SELECT doc_id, chunk_id,
        least({c}, n - chunk_id * {s})::BIGINT AS n_tokens,
        array_to_string(toks[chunk_id * {s} + 1 : chunk_id * {s} + {c}], ' ') AS chunk
 FROM c"""
+
+
+def _redact_pii_oracle() -> str:
+    """Twin of textstats.redact_pii over the _pii_docs synthesis: the SAME
+    three patterns (PII_PATTERNS is restricted to Java-regex/RE2 shared
+    syntax), applied in the same order, counts taken before each stage's
+    replacement."""
+    (u_n, u_p, u_r), (e_n, e_p, e_r), (i_n, i_p, i_r) = textstats.PII_PATTERNS
+    return f"""
+WITH src AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' https://ex.io/p/' || doc_id ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' 10.0.0.' || (doc_id % 256) ELSE '' END AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{u_p}'))::BIGINT AS n_{u_n},
+              regexp_replace(text, '{u_p}', '{u_r}', 'g') AS t FROM src),
+s2 AS (SELECT doc_id, n_{u_n},
+              len(regexp_extract_all(t, '{e_p}'))::BIGINT AS n_{e_n},
+              regexp_replace(t, '{e_p}', '{e_r}', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_{u_n}, n_{e_n},
+              len(regexp_extract_all(t, '{i_p}'))::BIGINT AS n_{i_n},
+              regexp_replace(t, '{i_p}', '{i_r}', 'g') AS t FROM s2)
+SELECT doc_id, t AS text_redacted, n_{u_n}, n_{e_n}, n_{i_n} FROM s3"""
 
 
 def _segment_dedup_oracle() -> str:

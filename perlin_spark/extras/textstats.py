@@ -497,6 +497,40 @@ def segment_dedup(
     )
 
 
+# PII patterns — operator contract.  Deliberately restricted to syntax
+# shared by Java regex (Spark) and RE2 (DuckDB oracle): no \b word
+# boundaries, no lookaround.  Order matters: URLs first (an email-looking
+# userinfo inside a URL is part of the URL), then emails, then IPv4.
+PII_PATTERNS = (
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
+)
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """(doc_id, text_redacted, n_url, n_email, n_ipv4) — the pretraining
+    PII scrub: URLs, email addresses, and IPv4 literals are replaced by
+    typed placeholder tokens, with per-doc counts (taken BEFORE each
+    replacement, on the text as the previous stage left it).
+
+    100-TB shape: three chained ``regexp_replace`` + ``regexp_extract_all``
+    expressions — one narrow JVM pass at scan speed, codegen-eligible, no
+    shuffle, no Python."""
+    text = F.col("text")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        text = F.regexp_replace(text, pat, repl)
+    return documents.select(
+        "doc_id", text.alias("text_redacted"), *counts
+    )
+
+
 def mixture_sample(
     documents: DataFrame,
     rates: dict[str, float],

@@ -1186,3 +1186,27 @@ def test_segment_dedup(spark):
     out3 = {r["doc_id"]: r["n_dropped"]
             for r in textstats.segment_dedup(docs, seg_tokens=3, min_docs=4).collect()}
     assert set(out3.values()) == {0}
+
+
+def test_redact_pii(spark):
+    from perlin_spark.extras import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at bob@example.com or visit https://x.io/a?b=c now"),
+            (1, "server 10.0.0.1 and 192.168.1.255 up"),
+            (2, "see https://a.b/c bob@x.yz 1.2.3.4"),
+            (3, "clean text"),
+            (4, "url with creds https://u@h.io/p stays one URL"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.redact_pii(docs).collect()}
+    assert out[0]["text_redacted"] == "mail me at <EMAIL> or visit <URL> now"
+    assert (out[0]["n_url"], out[0]["n_email"], out[0]["n_ipv4"]) == (1, 1, 0)
+    assert out[1]["text_redacted"] == "server <IP> and <IP> up"
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["text_redacted"] == "see <URL> <EMAIL> <IP>"
+    assert tuple(out[3]) == (3, "clean text", 0, 0, 0)
+    # the URL stage runs first, so its userinfo never counts as an email
+    assert (out[4]["n_url"], out[4]["n_email"]) == (1, 0)

@@ -854,6 +854,63 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTRING_NEEDLE = "ream merge"   # spans a token boundary ('stREAM MERGE')
+REGEX_PATTERN = "stream [a-z]+ [a-z]+ merge"   # literal runs: 'stream ', ' merge'
+
+
+def _tri_engine(spark: SparkSession, sf_dir: str) -> PerlinEngine:
+    """Documents index + the trigram sidecar FIELD (tokenizer='trigram') —
+    substring/regex search (perlin_spark.trigram, Cox's trigram index)."""
+    key = f"tri:{sf_dir}"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        specs = [
+            DOC_SPEC,
+            FieldSpec(field="tri3", source="text", tokenizer="trigram",
+                      lowercase=False),
+        ]
+        eng = PerlinEngine.build(
+            spark, docs, specs,
+            pipeline=QueryPipeline(text_spec=DOC_SPEC, text_combinator="all"),
+            content_col="text", n_shards=4,
+        ).cache()
+        _ENGINES[key] = eng
+    return eng
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep-for-a-fixed-string over raw content: AND over the needle's
+    rarest trigrams (stock conjunctive match set on the trigram field),
+    then contains() verification on candidate rows only.  The needle
+    crosses a token boundary, so no term-level query can fake this."""
+    return _tri_engine(spark, sf_dir).search_substring(SUBSTRING_NEEDLE)
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex search, trigram-pruned via the pattern's mandatory literal
+    runs (conservative Cox analysis), rlike-verified on candidates."""
+    return _tri_engine(spark, sf_dir).search_regex(REGEX_PATTERN)
+
+
+PAGE_K = 5
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep pagination (search_after cursor): serve page 1 (k=5) of the
+    OR query, feed its last served (score, doc_id) back as the cursor,
+    return page 2.  Shard heaps stay size k at ANY page depth — an
+    OFFSET plan would buffer offset+k rows per shard — so the oracle is
+    the same full ranking with LIMIT 5 OFFSET 5.  Gates the cursor mask
+    in both scorer paths plus the θ-seed cursor filter (query.py)."""
+    eng = _engine(spark, sf_dir)
+    pl = QueryPipeline(text_spec=DOC_SPEC, text_combinator="any")
+    q = " ".join(SNIPPET_TERMS)
+    p1 = eng.search(q, k=PAGE_K, pipeline=pl).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    return _score_x1e4(eng.search(q, k=PAGE_K, pipeline=pl, after=cursor))
+
+
 def _engine_dl_fallback(spark: SparkSession, sf_dir: str) -> PerlinEngine:
     """Same documents index as :func:`_engine`, but with the doc-length
     broadcast cap forced to 0 on THIS instance, so every search takes the
@@ -963,7 +1020,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_doc_stats": q_doc_stats,
         "ft_frequent_terms": q_frequent_terms,
         "ft_bm25_and_topk": q_bm25_and,
-        "ft_must_filter": q_must_filter,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
         "ft_tfidf_topk": q_tfidf_topk,
         "ft_batch_search": q_batch_search,
@@ -980,10 +1036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_search": q_fuzzy_search,
         "ft_wildcard_search": q_wildcard_search,
         "ft_phrase_search": q_phrase_search,
-        "ft_facet_counts": q_facet_counts,
+        "ft_substring_search": q_substring_search,
         "ft_more_like_this": q_more_like_this,
         "ft_snippets": q_snippets,
         "ft_bm25_deleted": q_bm25_deleted,
+        "ft_search_after": q_search_after,
         "search_hybrid_rrf": q_hybrid_rrf,
         # -- dedup ----------------------------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -1014,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_regex_search": q_regex_search,
+        "ft_facet_counts": q_facet_counts,
+        "ft_must_filter": q_must_filter,
         "ft_near_search": q_near_search,
         "text_chunk_documents": q_chunk_documents,
         "ft_prefix_search": q_prefix_search,
@@ -1074,7 +1134,8 @@ stv AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
 def _bm25_oracle(terms: list[str], conj: bool, k: int = 10,
                  must: list[str] | None = None, must_not: list[str] | None = None,
                  may: list[str] | None = None,
-                 exclude_ids: list[int] | None = None) -> str:
+                 exclude_ids: list[int] | None = None,
+                 offset: int = 0) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     # May terms score (same BM25 formula) but never gate candidacy
     slist = ", ".join(f"'{t}'" for t in sorted(set(terms) | set(may or [])))
@@ -1110,7 +1171,7 @@ sc AS (
   WHERE m.doc_id IN (SELECT doc_id FROM cand2)
   GROUP BY 1)
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
-FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 """
 
 
@@ -1810,6 +1871,21 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""",
         "ft_bm25_and_topk": _bm25_oracle(["hash", "join"], conj=True),
         "ft_bm25_or_topk": _bm25_oracle(["dup", "stream", "vector"], conj=False),
         "ft_must_filter": _bm25_oracle(["merge"], conj=True, must=["dup"]),
+        # page 2 (rows 6-10) of the OR ranking: pagination correctness IS
+        # "pages concatenate to the full ranking", so the oracle is
+        # LIMIT/OFFSET over the same exact ordering
+        "ft_search_after": _bm25_oracle(
+            ["dup", "stream", "vector"], conj=False, k=PAGE_K, offset=PAGE_K
+        ),
+        # substring/regex search: the trigram index is a pruning layer
+        # only — the exact semantics ARE the scan predicate, so the oracle
+        # is the direct full-scan filter
+        "ft_substring_search": f"""
+SELECT doc_id FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
+ORDER BY doc_id""",
+        "ft_regex_search": f"""
+SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
+ORDER BY doc_id""",
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_bm25_mixed_roles": _bm25_oracle(

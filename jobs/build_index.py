@@ -42,6 +42,11 @@ def parse_args(argv):
         help="also commit the SymSpell deletion-neighborhood table "
         "(fuzzy expansion without a vocabulary scan)",
     )
+    p.add_argument(
+        "--trigram", action="store_true",
+        help="also index raw-content char 3-grams as field 'tri3' "
+        "(enables substring/regex search — perlin_spark.trigram)",
+    )
     return p.parse_args(argv)
 
 
@@ -69,6 +74,14 @@ def main(argv=None) -> int:
     else:
         specs = documents_specs()
         kwargs = dict(doc_id_col="doc_id", content_col="text")
+
+    if args.trigram:
+        from perlin_spark.analysis import FieldSpec
+
+        specs = list(specs) + [
+            FieldSpec(field="tri3", source=kwargs["content_col"],
+                      tokenizer="trigram", lowercase=False)
+        ]
 
     epoch = build_epoch(
         spark,

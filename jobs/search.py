@@ -5,10 +5,10 @@ Usage::
     cd /root/repo && zip -r /tmp/perlin_spark.zip perlin_spark
     spark-submit --py-files /tmp/perlin_spark.zip jobs/search.py \
         --index /path/to/index_root --query "hash join" --k 10 \
-        [--mode bm25|phrase|near|prefix|fuzzy|wildcard|mlt] \
+        [--mode bm25|phrase|near|prefix|fuzzy|wildcard|mlt|substring|regex] \
         [--field content] [--combinator all|any] \
         [--must field:term ...] [--must-not field:term ...] \
-        [--window 3] [--ordered] \
+        [--window 3] [--ordered] [--after SCORE:DOC_ID] [--allow-scan] \
         [--snippets] [--output /path/to/results_parquet]
 
 ``--mode`` selects the query operator: ``phrase`` (adjacency-verified),
@@ -16,8 +16,10 @@ Usage::
 unless ``--ordered``), ``prefix``/``fuzzy``/``wildcard`` (vocabulary
 term expansion; fuzzy takes ``--max-edits``, wildcard takes a ``*``/``?``
 glob as the query), ``mlt`` (more-like-this; ``--query`` is the seed
-doc_id).  ``--snippets`` adds (pos, snippet) highlighting
-columns (bm25 mode only).
+doc_id), ``substring``/``regex`` (trigram-pruned raw-content grep; the
+index must carry a ``tokenizer='trigram'`` field).  ``--after`` pages a
+bm25 search from the previous page's last served row.  ``--snippets``
+adds (pos, snippet) highlighting columns (bm25 mode only).
 
 Prints the top-k (doc_id, score) to stdout; ``--output`` additionally
 writes the full ranked result as parquet (for pipeline consumption).
@@ -38,8 +40,14 @@ def parse_args(argv):
     p.add_argument("--combinator", choices=["all", "any"], default="all")
     p.add_argument("--mode",
                    choices=["bm25", "phrase", "near", "prefix", "fuzzy",
-                            "wildcard", "mlt"],
+                            "wildcard", "mlt", "substring", "regex"],
                    default="bm25")
+    p.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
+                   help="bm25 mode: deep-pagination cursor — the previous "
+                        "page's last served (score, doc_id)")
+    p.add_argument("--allow-scan", action="store_true",
+                   help="regex mode: permit the full-corpus verify scan "
+                        "when no mandatory literal >= 3 chars exists")
     p.add_argument("--max-edits", type=int, default=1)
     p.add_argument("--similarity", choices=["bm25", "tfidf"], default="bm25",
                    help="ranking similarity (runtime handle attribute)")
@@ -94,13 +102,24 @@ def main(argv=None) -> int:
         result = eng.search_wildcard(args.query, k=args.k, field=spec.field)
     elif args.mode == "mlt":
         result = eng.more_like_this(int(args.query), k=args.k)
+    elif args.mode == "substring":
+        result = eng.search_substring(args.query, k=args.k)
+    elif args.mode == "regex":
+        result = eng.search_regex(args.query, k=args.k, allow_scan=args.allow_scan)
     elif args.snippets:
         result = eng.snippets(args.query, k=args.k, filters=filters)
     else:
-        result = eng.search(args.query, k=args.k, filters=filters)
+        after = None
+        if args.after:
+            s, d = args.after.rsplit(":", 1)
+            after = (float(s), int(d))
+        result = eng.search(args.query, k=args.k, filters=filters, after=after)
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
     for r in result.collect():
+        if args.mode in ("substring", "regex"):
+            print(r["doc_id"])
+            continue
         extra = f"\t{r['pos']}\t{r['snippet']}" if args.snippets and args.mode == "bm25" else ""
         print(f"{r['doc_id']}\t{r['score']:.6f}{extra}")
     return 0

@@ -60,6 +60,8 @@ class FieldSpec:
     field: str                       # index field name
     source: str                      # corpus column analyzed into it
     tokenizer: str = "whitespace"    # 'whitespace' | 'alphanumeric' | 'code'
+                                     # | 'trigram' (char 3-grams, substring
+                                     # search — perlin_spark.trigram)
     lowercase: bool = True
     stem: bool = False               # Snowball english
     stopwords: tuple = ()
@@ -92,6 +94,19 @@ def _split_arrow(arr: pa.Array, tokenizer: str) -> pa.Array:
         s = pc.replace_substring_regex(arr, pattern=_CAMEL_RE2_A[0], replacement=_CAMEL_RE2_A[1])
         s = pc.replace_substring_regex(s, pattern=_CAMEL_RE2_B[0], replacement=_CAMEL_RE2_B[1])
         return pc.split_pattern_regex(s, pattern=_ALNUM_SEP_RE2)
+    if tokenizer == "trigram":
+        # raw-content character 3-grams — the substring/regex-search
+        # sidecar field (perlin_spark.trigram; Cox's trigram index).  No
+        # Arrow n-gram kernel exists; CPython slicing per BATCH string is
+        # the pragmatic path (build-time only — queries never tokenize
+        # the corpus, and this is batch-level Python, not a row UDF)
+        return pa.array(
+            [
+                [s[i : i + 3] for i in range(len(s) - 2)] if s else []
+                for s in arr.to_pylist()
+            ],
+            type=pa.list_(pa.string()),
+        )
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

@@ -161,13 +161,17 @@ class PerlinEngine:
         filters=(),
         pipeline: QueryPipeline | None = None,
         prune: bool = True,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
+        """``after=(score, doc_id)`` (the previous page's last served row)
+        requests the NEXT page — constant per-page cost at any depth; see
+        :func:`perlin_spark.query.search`."""
         if isinstance(query, str):
             pl = pipeline or self.pipeline
             spec = pl.analyze(query, self._filter_tuples(filters))
         else:
             spec = query
-        return _search(self.index, spec, k=k, prune=prune)
+        return _search(self.index, spec, k=k, prune=prune, after=after)
 
     def explain_query(
         self,
@@ -486,6 +490,104 @@ class PerlinEngine:
         return self._search_expanded(
             field, self.expand_wildcard(field, pattern, max_terms), k
         )
+
+    #: substring/regex candidacy intersects at most this many trigrams —
+    #: the RAREST by df.  Exactness is unaffected (verification is the
+    #: contains/rlike filter; dropping trigrams only widens candidates),
+    #: so high-df grams like ' th' never gate the intersection cost.
+    TRIGRAM_MAX = 8
+
+    def _tri_spec(self) -> FieldSpec:
+        for s in self.index.specs:
+            if s.tokenizer == "trigram":
+                return s
+        raise KeyError(
+            "no trigram field indexed; add "
+            "FieldSpec(field='tri3', source=<content>, tokenizer='trigram', "
+            "lowercase=False) to the build specs to enable substring/regex "
+            "search (perlin_spark.trigram)"
+        )
+
+    def _tri_candidates(self, spec: FieldSpec, tris: list[str]) -> DataFrame | None:
+        """Conjunctive match set over the rarest ``TRIGRAM_MAX`` of
+        ``tris`` — the stock AND machinery on the trigram field.  ``None``
+        = some required trigram is absent from the vocabulary, so no
+        document can match (proof, not heuristic: every tri is mandatory)."""
+        dfs = self.index.vocab_lookup([(spec.field, t) for t in tris])
+        if any(dfs[(spec.field, t)][0] == 0 for t in tris):
+            return None
+        sel = sorted(tris, key=lambda t: dfs[(spec.field, t)][0])[: self.TRIGRAM_MAX]
+        q = QuerySpec(groups=((spec.field, "all", tuple(sel)),), filters=())
+        return self.search(q, k=None).select("doc_id")
+
+    def _empty_ids(self) -> DataFrame:
+        return self.index.spark.createDataFrame([], "doc_id long")
+
+    def search_substring(self, needle: str, k: int | None = None) -> DataFrame:
+        """Exact substring search over the raw content — the code-search
+        primitive (grep for a fixed string), served by the trigram field
+        (``perlin_spark.trigram``; Cox's trigram index): candidacy = AND
+        over the needle's rarest trigrams (one bucket-pruned single-stage
+        job, same plan as BM25), then ``contains(content, needle)`` runs
+        on CANDIDATE rows only of a two-column corpus projection.  Returns
+        ``(doc_id)`` ascending; ``k=None`` = the full match set.  Needles
+        shorter than 3 chars are below the trigram floor and refuse
+        loudly (filter the corpus scan directly for those)."""
+        spec = self._tri_spec()
+        if len(needle) < 3:
+            raise ValueError(
+                f"substring search needs len(needle) >= 3, got {needle!r}; "
+                "below the trigram floor — filter the corpus directly"
+            )
+        from .trigram import trigrams
+
+        cand = self._tri_candidates(spec, trigrams(needle))
+        if cand is None:
+            return self._empty_ids()
+        src = spec.source
+        out = (
+            self.index.docs.select("doc_id", src)
+            .join(cand, "doc_id")
+            .filter(F.col(src).contains(needle))
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+        return out.limit(k) if k is not None else out
+
+    def search_regex(
+        self, pattern: str, k: int | None = None, allow_scan: bool = False
+    ) -> DataFrame:
+        """Regex search over the raw content, trigram-pruned: the
+        pattern's MANDATORY literal runs (``perlin_spark.trigram.
+        regex_literals``, conservative Cox analysis) supply the trigrams;
+        candidacy and verification as in :meth:`search_substring`, with
+        ``rlike(pattern)`` (java.util.regex) as the exact test.  A pattern
+        with no mandatory run >= 3 chars cannot be pruned: it REFUSES
+        unless ``allow_scan=True`` explicitly opts into the full-corpus
+        verify scan (still a two-column projection)."""
+        spec = self._tri_spec()
+        from .trigram import regex_literals, trigrams
+
+        tris = sorted({t for lit in regex_literals(pattern) for t in trigrams(lit)})
+        src = spec.source
+        base = self.index.docs.select("doc_id", src)
+        if tris:
+            cand = self._tri_candidates(spec, tris)
+            if cand is None:
+                return self._empty_ids()
+            base = base.join(cand, "doc_id")
+        elif not allow_scan:
+            raise ValueError(
+                f"regex {pattern!r} has no mandatory literal run of >= 3 "
+                "chars — trigram pruning is impossible; pass "
+                "allow_scan=True to run the full-corpus verify scan"
+            )
+        out = (
+            base.filter(F.col(src).rlike(pattern))
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+        return out.limit(k) if k is not None else out
 
     def _analyze_ordered(self, text: str, spec) -> list[str]:
         """The field's analyzed token stream for one string, order and

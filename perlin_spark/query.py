@@ -132,7 +132,8 @@ class _ShardScorer:
 
     def __init__(self, k1: float, b: float, topk: int | None, prune: bool,
                  ops: list[dict], n_groups: int, n_must: int, dl_bc=None,
-                 deleted=None, sim: str = "bm25"):
+                 deleted=None, sim: str = "bm25",
+                 after: tuple[float, int] | None = None):
         self.k1 = k1
         self.b = b
         self.sim = sim
@@ -141,6 +142,13 @@ class _ShardScorer:
         self.ops = ops
         self.n_groups = n_groups
         self.n_must = n_must
+        #: search_after cursor (score, doc_id): keep only docs STRICTLY
+        #: after it in (score desc, doc_id asc) order.  Applied to FINAL
+        #: scores only (a partial score underestimates, so masking early
+        #: could drop docs that belong on the page), and to the θ seed set
+        #: (a before-cursor doc's score must never seed θ — same argument
+        #: as the tombstone seed filter below)
+        self.after = after
         #: live-docs filter, applied at candidate generation in BOTH
         #: scoring paths so shard-local top-k always refills from live
         #: docs.  Either a sorted int64 array (tests, tiny sets) or —
@@ -155,6 +163,14 @@ class _ShardScorer:
     def deleted(self):
         d = self._deleted_src
         return d.value if hasattr(d, "value") else d
+
+    def _after_mask(self, scores: "np.ndarray", doc_ids: "np.ndarray"):
+        """Strictly-after-cursor mask in (score desc, doc_id asc) order.
+        The cursor is the last row of the previous page AS SERVED, so the
+        float equality in the tie arm compares a score against itself
+        (identical computation both times) — exact by construction."""
+        s, d = self.after
+        return (scores < s) | ((scores == s) & (doc_ids > d))
 
     @staticmethod
     def _empty() -> pd.DataFrame:
@@ -340,6 +356,11 @@ class _ShardScorer:
             )
 
         # --- shard-local top-k -------------------------------------------------
+        if self.after is not None:
+            keep = self._after_mask(scores, cand)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return self._empty()
         k = cand.size if self.topk is None else min(self.topk, cand.size)
         # order by (-score, doc_id): lexsort keys are last-key-primary
         order = np.lexsort((cand, -scores))[:k]
@@ -422,6 +443,13 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
     seed_scores = np.zeros(seed_docs.size, dtype=np.float64)
     for op in ordered:
         seed_scores += exact(op, seed_docs)
+    if self.after is not None:
+        # a before-cursor doc's score must never seed θ: it cannot appear
+        # on this page, so a θ it sets could prune docs that belong here.
+        # Seed scores ARE final scores (exact over all terms), so the
+        # cursor mask is applicable at seed time.
+        mkeep = self._after_mask(seed_scores, seed_docs)
+        seed_docs, seed_scores = seed_docs[mkeep], seed_scores[mkeep]
     # θ is a valid pruning threshold only once we HAVE topk scored docs;
     # a shard with fewer seed matches must not prune at all (any of its
     # other matches could still make the global top-k)
@@ -462,6 +490,10 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
         if cand.size == 0:
             break
         scores += exact(op, cand)
+
+    if self.after is not None:
+        keep2 = self._after_mask(scores, cand)
+        cand, scores = cand[keep2], scores[keep2]
 
     k = min(self.topk, cand.size)
     order = np.lexsort((cand, -scores))[:k]
@@ -514,8 +546,16 @@ def search(
     query: QuerySpec,
     k: int | None = 10,
     prune: bool = True,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Run an analyzed query -> DataFrame (doc_id, score), best first.
+
+    ``after=(score, doc_id)`` — the last row of the previous page — turns
+    the call into deep pagination: only docs STRICTLY after the cursor in
+    (score desc, doc_id asc) order are returned, and each shard's top-k
+    heap stays size k (an OFFSET-style page would buffer offset+k rows
+    per shard and collect offset+k per page — at page 1000 of a 10^12-doc
+    corpus that is the difference between k rows and a driver OOM).
 
     Mirrors ``run_query`` (``perlin-derive/src/index_struct.rs:44-68``) with
     BM25 ordering [north-star] and tie-break ``(score desc, doc_id asc)``.
@@ -536,7 +576,8 @@ def search(
             ratios.setdefault(s.number_field, 1.0)
 
     ops, n_groups, n_must = _query_ops(query, ratios)
-    return _execute_ops(index, ops, n_groups, n_must, k=k, prune=prune)
+    return _execute_ops(index, ops, n_groups, n_must, k=k, prune=prune,
+                        after=after)
 
 
 def search_fielded(
@@ -576,6 +617,7 @@ def _execute_ops(
     n_must: int,
     k: int | None,
     prune: bool,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Shared execution tail: op metadata enrichment (driver-cached vocab +
     stats), bucket-pruned postings scan, shard-grouped Arrow scorer, global
@@ -634,9 +676,19 @@ def _execute_ops(
     sim = getattr(index, "similarity", "bm25")
     if sim not in ("bm25", "tfidf"):
         raise ValueError(f"unknown similarity {sim!r} (bm25 | tfidf)")
+    if after is not None:
+        # guard the (score, doc_id) order: doc_id must be integral — a
+        # swapped (doc_id, score) cursor would otherwise truncate silently
+        # and return already-served pages forever
+        if float(after[1]) != int(after[1]):
+            raise ValueError(
+                f"after cursor is (score, doc_id); got non-integral "
+                f"doc_id {after[1]!r} — did you swap the pair?"
+            )
+        after = (float(after[0]), int(after[1]))
     scorer = _ShardScorer(
         index.k1, index.b, k, prune, ops, n_groups, n_must, dl_bc=dl_bc,
-        deleted=index.deleted_broadcast(), sim=sim,
+        deleted=index.deleted_broadcast(), sim=sim, after=after,
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -792,3 +792,50 @@ def test_search_fields_title_only_and_unknown_field(range_engine):
     with pytest.raises(KeyError, match="no indexed field"):
         range_engine.search_fields("x", {"nope": 1.0})
     assert range_engine.search_fields("", {"text": 1.0}, k=10).collect() == []
+
+
+def test_search_after_pagination(range_engine):
+    """Cursor paging: concatenated pages (k=3 each) reproduce the full
+    ranking exactly, on BOTH scorer paths (maxscore single-Any-group OR
+    query, and the exhaustive mixed-group path), and a cursor past the
+    last row yields an empty page."""
+    pl_any = QueryPipeline(
+        text_spec=FieldSpec(field="text", source="text", stem=True,
+                            number_field="number"),
+        text_combinator="any",
+    )
+
+    def pages(query, **kwargs):
+        full = [(r["doc_id"], r["score"])
+                for r in range_engine.search(
+                    query, k=None, pipeline=pl_any, **kwargs).collect()]
+        walked, cursor = [], None
+        while True:
+            page = [(r["doc_id"], r["score"])
+                    for r in range_engine.search(
+                        query, k=1, after=cursor, pipeline=pl_any,
+                        **kwargs).collect()]
+            if not page:
+                break
+            walked.extend(page)
+            # the cursor is (score, doc_id); rows are (doc_id, score)
+            cursor = (page[-1][1], page[-1][0])
+        return full, walked
+
+    # maxscore path: single Any group, multi-term, prune=True
+    full, walked = pages("birds flew deimos")
+    assert len(full) == 3 and walked == full
+    # exhaustive path: pruning disabled (forces the plain scorer)
+    full2, walked2 = pages("birds flew deimos", prune=False)
+    assert walked2 == full2 == full
+    # cursor at the very end -> empty page
+    assert range_engine.search(
+        "birds flew deimos", k=3, after=(full[-1][1], full[-1][0]),
+        pipeline=pl_any,
+    ).collect() == []
+    # swapped (doc_id, score) cursor -> loud error, not silent truncation
+    with pytest.raises(ValueError, match="did you swap"):
+        range_engine.search(
+            "birds flew deimos", k=3, after=(full[0][0], full[0][1]),
+            pipeline=pl_any,
+        )

@@ -893,6 +893,37 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tri_engine(spark, sf_dir).search_regex(REGEX_PATTERN)
 
 
+SUGGEST_QUERY = "streem windoq merge"   # two misspellings + one exact term
+SUGGEST_K = 3
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: per-token top-k corrections (dist asc, df desc, term
+    asc) via ONE SymSpell-probed job; exact tokens surface as dist-0."""
+    return _engine(spark, sf_dir).suggest(SUGGEST_QUERY, k=SUGGEST_K)
+
+
+def _suggest_oracle() -> str:
+    toks = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(SUGGEST_QUERY.split())
+    )
+    return f"""
+WITH {_TOK},
+qt AS (SELECT * FROM (VALUES {toks}) AS t(token_pos, token)),
+v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tfv GROUP BY 1),
+cand AS (
+  SELECT q.token_pos::INT AS token_pos, q.token, v.term, v.df,
+         levenshtein(v.term, q.token)::INT AS dist
+  FROM v CROSS JOIN qt q
+  WHERE levenshtein(v.term, q.token) <= 2)
+SELECT token_pos, token, term, df, dist
+FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY token_pos ORDER BY dist, df DESC, term) <= {SUGGEST_K}
+ORDER BY token_pos, dist, df DESC, term
+"""
+
+
 PAGE_K = 5
 
 
@@ -1072,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
         "ft_regex_search": q_regex_search,
+        "ft_suggest": q_suggest,
         "ft_facet_counts": q_facet_counts,
         "ft_must_filter": q_must_filter,
         "ft_near_search": q_near_search,
@@ -1886,6 +1918,7 @@ ORDER BY doc_id""",
         "ft_regex_search": f"""
 SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 ORDER BY doc_id""",
+        "ft_suggest": _suggest_oracle(),
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_bm25_mixed_roles": _bm25_oracle(

@@ -5,7 +5,7 @@ Usage::
     cd /root/repo && zip -r /tmp/perlin_spark.zip perlin_spark
     spark-submit --py-files /tmp/perlin_spark.zip jobs/search.py \
         --index /path/to/index_root --query "hash join" --k 10 \
-        [--mode bm25|phrase|near|prefix|fuzzy|wildcard|mlt|substring|regex] \
+        [--mode bm25|phrase|near|prefix|fuzzy|wildcard|mlt|substring|regex|suggest] \
         [--field content] [--combinator all|any] \
         [--must field:term ...] [--must-not field:term ...] \
         [--window 3] [--ordered] [--after SCORE:DOC_ID] [--allow-scan] \
@@ -17,7 +17,9 @@ unless ``--ordered``), ``prefix``/``fuzzy``/``wildcard`` (vocabulary
 term expansion; fuzzy takes ``--max-edits``, wildcard takes a ``*``/``?``
 glob as the query), ``mlt`` (more-like-this; ``--query`` is the seed
 doc_id), ``substring``/``regex`` (trigram-pruned raw-content grep; the
-index must carry a ``tokenizer='trigram'`` field).  ``--after`` pages a
+index must carry a ``tokenizer='trigram'`` field), ``suggest``
+(did-you-mean: per-token top-k corrections, tab-separated
+``token_pos token term df dist``).  ``--after`` pages a
 bm25 search from the previous page's last served row.  ``--snippets``
 adds (pos, snippet) highlighting columns (bm25 mode only).
 
@@ -40,7 +42,8 @@ def parse_args(argv):
     p.add_argument("--combinator", choices=["all", "any"], default="all")
     p.add_argument("--mode",
                    choices=["bm25", "phrase", "near", "prefix", "fuzzy",
-                            "wildcard", "mlt", "substring", "regex"],
+                            "wildcard", "mlt", "substring", "regex",
+                            "suggest"],
                    default="bm25")
     p.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
                    help="bm25 mode: deep-pagination cursor — the previous "
@@ -106,6 +109,8 @@ def main(argv=None) -> int:
         result = eng.search_substring(args.query, k=args.k)
     elif args.mode == "regex":
         result = eng.search_regex(args.query, k=args.k, allow_scan=args.allow_scan)
+    elif args.mode == "suggest":
+        result = eng.suggest(args.query, k=args.k, max_edits=args.max_edits)
     elif args.snippets:
         result = eng.snippets(args.query, k=args.k, filters=filters)
     else:
@@ -119,6 +124,9 @@ def main(argv=None) -> int:
     for r in result.collect():
         if args.mode in ("substring", "regex"):
             print(r["doc_id"])
+            continue
+        if args.mode == "suggest":
+            print(f"{r['token_pos']}\t{r['token']}\t{r['term']}\t{r['df']}\t{r['dist']}")
             continue
         extra = f"\t{r['pos']}\t{r['snippet']}" if args.snippets and args.mode == "bm25" else ""
         print(f"{r['doc_id']}\t{r['score']:.6f}{extra}")

@@ -439,6 +439,82 @@ class PerlinEngine:
         )
         return [r["term"] for r in rows]
 
+    def suggest(
+        self,
+        query: str,
+        k: int = 3,
+        field: str | None = None,
+        max_edits: int = 2,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """Did-you-mean: for EVERY analyzed token of ``query``, the top-k
+        correction candidates from the vocabulary, ranked ``(dist asc,
+        df desc, term asc)`` — a token that exists in the vocabulary
+        appears as its own dist-0 row (callers decide whether its df
+        justifies keeping it).  Returns ``(token_pos, token, term, df,
+        dist)``, ``token_pos`` = first position of the token in the
+        analyzed stream.
+
+        ONE Spark job for the whole query: all tokens' deletion keys ride
+        a single broadcast probe into the SymSpell table (``(token,
+        delkey)`` pairs — the same full-recall symmetric-delete scheme as
+        :meth:`search_fuzzy`, never a vocabulary-wide levenshtein), edit
+        distance verifies on probed candidates only, and the per-token
+        top-k is a window head over ``token_pos`` partitions (the
+        ``search_many`` shape).  Beyond the table's depth
+        (``max_edits > SYMSPELL_MAX_EDITS``) it falls back to per-token
+        length-banded vocabulary scans."""
+        from pyspark.sql import Window
+
+        spec = (pipeline or self.pipeline).text_spec
+        field = field or spec.field
+        first_pos: dict[str, int] = {}
+        for i, t in enumerate(self._analyze_ordered(query, spec)):
+            first_pos.setdefault(t, i)
+        toks = [(pos, tok) for tok, pos in first_pos.items()]
+        spark = self.index.spark
+        out_schema = "token_pos int, token string, term string, df long, dist int"
+        if not toks:
+            return spark.createDataFrame([], out_schema)
+        vocab = self.index.vocabulary.filter(F.col("field") == field).select(
+            "term", "df"
+        )
+        if max_edits > self.index.SYMSPELL_MAX_EDITS:
+            probe = spark.createDataFrame(toks, "token_pos int, token string")
+            cand = vocab.join(
+                F.broadcast(probe),
+                (F.length("term") >= F.length("token") - max_edits)
+                & (F.length("term") <= F.length("token") + max_edits),
+            )
+        else:
+            rows = [
+                (pos, tok, dk)
+                for pos, tok in toks
+                for dk in self._deletion_keys(tok, max_edits)
+            ]
+            probe = spark.createDataFrame(
+                rows, "token_pos int, token string, delkey string"
+            )
+            cand = (
+                self.index.symspell()
+                .filter(F.col("field") == field)
+                .join(F.broadcast(probe), "delkey")
+                .select("token_pos", "token", "term")
+                .dropDuplicates(["token_pos", "term"])
+                .join(vocab, "term")
+            )
+        dist = F.levenshtein(F.col("term"), F.col("token"))
+        cand = cand.withColumn("dist", dist).filter(F.col("dist") <= max_edits)
+        w = Window.partitionBy("token_pos").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("token_pos", "token", "term", "df", "dist")
+            .orderBy("token_pos", F.asc("dist"), F.desc("df"), F.asc("term"))
+        )
+
     def _search_expanded(self, field: str, terms: list[str], k: int | None):
         """One Any-combinator BM25 query over literal index terms — the
         QuerySpec is built directly (the terms are already normalized

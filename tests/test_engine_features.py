@@ -839,3 +839,48 @@ def test_search_after_pagination(range_engine):
             "birds flew deimos", k=3, after=(full[0][0], full[0][1]),
             pipeline=pl_any,
         )
+
+
+# --- suggest ("did you mean") ----------------------------------------------
+
+@pytest.fixture(scope="module")
+def suggest_engine(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "merge sort window merge stream"),
+            (1, "window stream merge filter"),
+            (2, "filter stream stream scan"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    return PerlinEngine.build(
+        spark, docs, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    ).cache()
+
+
+def test_suggest_ranks_by_dist_then_df(suggest_engine):
+    rows = [tuple(r) for r in suggest_engine.suggest("merg streem window", k=2).collect()]
+    by_tok = {}
+    for pos, tok, term, df, dist in rows:
+        by_tok.setdefault((pos, tok), []).append((term, df, dist))
+    # misspelled tokens correct at dist 1; exact token is its own dist-0 row
+    assert by_tok[(0, "merg")][0] == ("merge", 2, 1)
+    assert by_tok[(1, "streem")][0] == ("stream", 3, 1)
+    assert by_tok[(2, "window")][0] == ("window", 2, 0)
+    # ranking is (dist asc, df desc): merge(df 2) beats scan(df 1) for 'mergn'?
+    # check tie-break shape instead: every token's rows are sorted
+    for cands in by_tok.values():
+        assert cands == sorted(cands, key=lambda c: (c[2], -c[1], c[0]))
+
+
+def test_suggest_fallback_beyond_symspell_depth(suggest_engine):
+    # max_edits=3 exceeds SYMSPELL_MAX_EDITS=2 -> length-banded fallback
+    rows = [tuple(r) for r in suggest_engine.suggest("mergeee", k=1, max_edits=3).collect()]
+    assert rows == [(0, "mergeee", "merge", 2, 2)]
+
+
+def test_suggest_empty_and_unknown(suggest_engine):
+    assert suggest_engine.suggest("", k=3).collect() == []
+    # nothing within 2 edits of a long nonsense token -> no rows for it
+    assert suggest_engine.suggest("qqqqzzzzqqqq", k=3).collect() == []

@@ -617,14 +617,21 @@ class PerlinEngine:
             )
         from .trigram import trigrams
 
-        cand = self._tri_candidates(spec, trigrams(needle))
+        # a lowercase=True trigram field serves CASE-INSENSITIVE grep:
+        # per-gram lowering == grams of lowered text (1:1 case mapping —
+        # exact for ASCII/code; locale one-to-many foldings excepted), so
+        # fold the needle for candidacy and the scan column for verify
+        fold = spec.lowercase
+        probe = needle.lower() if fold else needle
+        cand = self._tri_candidates(spec, trigrams(probe))
         if cand is None:
             return self._empty_ids()
         src = spec.source
+        scan_col = F.lower(F.col(src)) if fold else F.col(src)
         out = (
             self.index.docs.select("doc_id", src)
             .join(cand, "doc_id")
-            .filter(F.col(src).contains(needle))
+            .filter(scan_col.contains(probe))
             .select("doc_id")
             .orderBy("doc_id")
         )
@@ -644,7 +651,15 @@ class PerlinEngine:
         spec = self._tri_spec()
         from .trigram import regex_literals, trigrams
 
-        tris = sorted({t for lit in regex_literals(pattern) for t in trigrams(lit)})
+        # lowercase=True trigram field: fold extracted literals for
+        # candidacy and match case-insensitively ((?i) is java.util.regex
+        # syntax accepted by rlike) — mirrors search_substring's folding
+        fold = spec.lowercase
+        lits = regex_literals(pattern)
+        if fold:
+            lits = [lit.lower() for lit in lits]
+            pattern = "(?i)" + pattern
+        tris = sorted({t for lit in lits for t in trigrams(lit)})
         src = spec.source
         base = self.index.docs.select("doc_id", src)
         if tris:

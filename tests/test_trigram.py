@@ -137,3 +137,31 @@ def test_candidate_plan_joins_before_verify(tri_engine):
     plan = tri_engine.search_substring("quick brown")._jdf.queryExecution().executedPlan().toString()
     assert "Contains" in plan or "contains" in plan
     assert "Join" in plan or "BroadcastHashJoin" in plan
+
+@pytest.fixture(scope="module")
+def folded_engine(spark):
+    docs = spark.createDataFrame(
+        [(0, "Quick BROWN Fox"), (1, "quick brown fox"), (2, "QUICK other")],
+        "doc_id long, text string",
+    )
+    specs = [
+        FieldSpec(field="text", source="text", tokenizer="whitespace"),
+        FieldSpec(field="tri3", source="text", tokenizer="trigram", lowercase=True),
+    ]
+    return PerlinEngine.build(
+        spark, docs, specs, content_col="text", n_shards=2
+    ).cache()
+
+
+def test_substring_case_folded_field(folded_engine):
+    """lowercase=True trigram field serves case-insensitive grep: mixed-
+    case needle matches every casing; candidacy still prunes (doc 2 has
+    no 'brown' in any case)."""
+    got = [r["doc_id"] for r in folded_engine.search_substring("qUiCk BroWn").collect()]
+    assert got == [0, 1]
+    assert [r["doc_id"] for r in folded_engine.search_substring("ck oth").collect()] == [2]
+
+
+def test_regex_case_folded_field(folded_engine):
+    got = [r["doc_id"] for r in folded_engine.search_regex("BROWN f[ox]x").collect()]
+    assert got == [0, 1]

@@ -896,6 +896,20 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUGGEST_QUERY = "streem windoq merge"   # two misspellings + one exact term
 SUGGEST_K = 3
 
+#: 'slow' is a real corpus term (the alternate contributes candidacy and
+#: score); 'quick' is absent (df 0 — must be a no-op, not an error)
+SYNONYMS = {"fast": ("slow", "quick")}
+
+
+def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion under the conjunctive combinator:
+    'fast join' with fast->(slow|quick) = (fast|slow|quick) AND join,
+    scores summing over matched alternates — the Lucene SynonymGraph
+    shape as intersecting Any-groups."""
+    return _score_x1e4(
+        _engine(spark, sf_dir).search("fast join", k=10, synonyms=SYNONYMS)
+    )
+
 
 def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Did-you-mean: per-token top-k corrections (dist asc, df desc, term
@@ -1104,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
         "ft_regex_search": q_regex_search,
         "ft_suggest": q_suggest,
+        "ft_synonym_search": q_synonym_search,
         "ft_facet_counts": q_facet_counts,
         "ft_must_filter": q_must_filter,
         "ft_near_search": q_near_search,
@@ -1204,6 +1219,38 @@ sc AS (
   GROUP BY 1)
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM sc ORDER BY score DESC, doc_id LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+"""
+
+
+def _bm25_groups_oracle(groups: list[list[str]], k: int = 10) -> str:
+    """BM25 over intersecting Any-groups (the synonym-expansion shape):
+    candidacy = docs matching >= 1 term of EVERY group; score = sum over
+    all matched group terms (each term weighted by its own idf)."""
+    union = sorted({t for g in groups for t in g})
+    ulist = ", ".join(f"'{t}'" for t in union)
+    having = " AND ".join(
+        "count(DISTINCT CASE WHEN term IN ({0}) THEN term END) >= 1".format(
+            ", ".join(f"'{t}'" for t in g)
+        )
+        for g in groups
+    )
+    return f"""
+WITH {_TOK},
+qs AS (SELECT unnest([{ulist}]) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qs USING (term) GROUP BY 1),
+cand AS (
+  SELECT doc_id FROM tfv WHERE term IN ({ulist})
+  GROUP BY doc_id HAVING {having}),
+sc AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -1919,6 +1966,9 @@ ORDER BY doc_id""",
 SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 ORDER BY doc_id""",
         "ft_suggest": _suggest_oracle(),
+        "ft_synonym_search": _bm25_groups_oracle(
+            [["fast", "slow", "quick"], ["join"]]
+        ),
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_bm25_mixed_roles": _bm25_oracle(

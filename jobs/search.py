@@ -59,6 +59,10 @@ def parse_args(argv):
     p.add_argument("--ordered", action="store_true",
                    help="near mode: terms must appear in query order")
     p.add_argument("--snippets", action="store_true")
+    p.add_argument("--synonym", action="append", default=[],
+                   metavar="TERM:ALT1,ALT2",
+                   help="bm25 mode: query-time synonym (repeatable); terms "
+                        "are matched post-analysis")
     p.add_argument("--must", action="append", default=[], metavar="FIELD:TERM")
     p.add_argument("--must-not", action="append", default=[], metavar="FIELD:TERM")
     p.add_argument("--output", default=None)
@@ -118,7 +122,14 @@ def main(argv=None) -> int:
         if args.after:
             s, d = args.after.rsplit(":", 1)
             after = (float(s), int(d))
-        result = eng.search(args.query, k=args.k, filters=filters, after=after)
+        synonyms = None
+        if args.synonym:
+            synonyms = {}
+            for raw in args.synonym:
+                t, alts = raw.split(":", 1)
+                synonyms[t] = tuple(a for a in alts.split(",") if a)
+        result = eng.search(args.query, k=args.k, filters=filters,
+                            after=after, synonyms=synonyms)
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
     for r in result.collect():

@@ -408,6 +408,15 @@ class QueryPipeline:
     text_spec: FieldSpec
     text_combinator: str = "all"      # `[All in text]`
     number_combinator: str = "any"    # `[Any in number]`
+    #: query-time synonym map over ANALYZED terms: {term: (alt, ...)}.
+    #: Keys are matched and alternates emitted post-analysis (after
+    #: lowercase/stem), so both sides must be index terms — the standard
+    #: query-side synonym-filter placement.  Under the 'all' combinator
+    #: every token becomes its own Any subgroup ``(token | alts...)`` and
+    #: groups intersect (Lucene SynonymGraph semantics: each query slot
+    #: must match SOME alternate; scores sum over matched alternates).
+    #: Under 'any' the alternates simply join the union group.
+    synonyms: "dict[str, tuple[str, ...]] | None" = None
 
     def analyze(self, query: str, filters: tuple = ()) -> QuerySpec:
         toks = tokenize(pd.Series([query]), self.text_spec.tokenizer)
@@ -421,10 +430,22 @@ class QueryPipeline:
                 )
                 key = (field_name, comb)
                 groups.setdefault(key, []).extend(terms.tolist())
-        group_tuple = tuple(
-            (f, comb, tuple(terms)) for (f, comb), terms in groups.items()
-        )
-        return QuerySpec(groups=group_tuple, filters=tuple(filters))
+        out: list[tuple[str, str, tuple]] = []
+        for (f, comb), terms in groups.items():
+            syn = self.synonyms if f == self.text_spec.field else None
+            if syn and comb == "all":
+                for t in dict.fromkeys(terms):
+                    alts = tuple(dict.fromkeys((t, *syn.get(t, ()))))
+                    out.append((f, "any", alts))
+            elif syn:
+                union: list[str] = []
+                for t in terms:
+                    union.append(t)
+                    union.extend(syn.get(t, ()))
+                out.append((f, "any", tuple(dict.fromkeys(union))))
+            else:
+                out.append((f, comb, tuple(terms)))
+        return QuerySpec(groups=tuple(out), filters=tuple(filters))
 
 
 # --- canonical pipelines -------------------------------------------------

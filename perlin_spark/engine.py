@@ -162,12 +162,19 @@ class PerlinEngine:
         pipeline: QueryPipeline | None = None,
         prune: bool = True,
         after: tuple[float, int] | None = None,
+        synonyms: "dict[str, tuple[str, ...]] | None" = None,
     ) -> DataFrame:
         """``after=(score, doc_id)`` (the previous page's last served row)
         requests the NEXT page — constant per-page cost at any depth; see
-        :func:`perlin_spark.query.search`."""
+        :func:`perlin_spark.query.search`.  ``synonyms`` overlays a
+        query-time synonym map on the pipeline for this call (see
+        :class:`perlin_spark.analysis.QueryPipeline.synonyms`)."""
         if isinstance(query, str):
             pl = pipeline or self.pipeline
+            if synonyms is not None:
+                import dataclasses
+
+                pl = dataclasses.replace(pl, synonyms=synonyms)
             spec = pl.analyze(query, self._filter_tuples(filters))
         else:
             spec = query

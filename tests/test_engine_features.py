@@ -884,3 +884,53 @@ def test_suggest_empty_and_unknown(suggest_engine):
     assert suggest_engine.suggest("", k=3).collect() == []
     # nothing within 2 edits of a long nonsense token -> no rows for it
     assert suggest_engine.suggest("qqqqzzzzqqqq", k=3).collect() == []
+
+
+# --- query-time synonyms ----------------------------------------------------
+
+def test_synonym_expansion_semantics(suggest_engine):
+    """fast->(quick|rapid): conjunctive query becomes intersecting Any
+    subgroups; a doc matching via an alternate is a hit, scores sum over
+    matched alternates, and absent alternates are harmless no-ops."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    eng = suggest_engine
+    syn = {"stream": ("scan",)}
+    # 'merge stream' conjunctive: docs 0,1 have both; doc 2 has scan+stream
+    base = {r["doc_id"]: r["score"] for r in eng.search("merge stream", k=10).collect()}
+    expanded = {r["doc_id"]: r["score"]
+                for r in eng.search("merge stream", k=10, synonyms=syn).collect()}
+    assert set(base) == {0, 1}
+    assert set(expanded) == {0, 1}          # doc 2 lacks 'merge' either way
+    # doc 2's 'scan' now satisfies the stream-slot for the OR pipeline
+    pl_terms = eng.pipeline.analyze("merge stream").groups
+    assert pl_terms == (("text", "all", ("merge", "stream")),)
+    import dataclasses
+    pl_syn = dataclasses.replace(eng.pipeline, synonyms=syn)
+    assert pl_syn.analyze("merge stream").groups == (
+        ("text", "any", ("merge",)),
+        ("text", "any", ("stream", "scan")),
+    )
+    # score grows where an alternate ALSO matches (doc 2 has scan+stream:
+    # not a candidate w/o merge; doc 1 unchanged - no scan occurrences)
+    assert expanded[1] == pytest.approx(base[1])
+    # absent alternate: pure no-op
+    same = {r["doc_id"]: r["score"]
+            for r in eng.search("merge stream", k=10,
+                                synonyms={"stream": ("zzznope",)}).collect()}
+    assert same == pytest.approx(base)
+
+
+def test_synonym_any_combinator_union(suggest_engine):
+    import dataclasses
+
+    pl = dataclasses.replace(
+        suggest_engine.pipeline, text_combinator="any",
+        synonyms={"merge": ("filter",)},
+    )
+    assert pl.analyze("merge stream").groups == (
+        ("text", "any", ("merge", "filter", "stream")),
+    )
+    got = {r["doc_id"] for r in suggest_engine.search(
+        "merge", k=10, pipeline=pl).collect()}
+    assert got == {0, 1, 2}   # doc 2 matches via the 'filter' alternate

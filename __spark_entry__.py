@@ -938,6 +938,13 @@ ORDER BY token_pos, dist, df DESC, term
 """
 
 
+def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-stored-field: the conjunctive match set ordered by the
+    docs-table n_chars column (desc, doc_id tiebreak) — Lucene's
+    sort-by-field, as match-set join + TakeOrdered."""
+    return _engine(spark, sf_dir).search_sorted("hash join", by="n_chars", k=10)
+
+
 PAGE_K = 5
 
 
@@ -1119,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_regex_search": q_regex_search,
         "ft_suggest": q_suggest,
         "ft_synonym_search": q_synonym_search,
+        "ft_sorted_search": q_sorted_search,
         "ft_facet_counts": q_facet_counts,
         "ft_must_filter": q_must_filter,
         "ft_near_search": q_near_search,
@@ -1969,6 +1977,12 @@ ORDER BY doc_id""",
         "ft_synonym_search": _bm25_groups_oracle(
             [["fast", "slow", "quick"], ["join"]]
         ),
+        "ft_sorted_search": f"""
+WITH {_TOK},
+cand AS (SELECT doc_id FROM tfv WHERE term IN ('hash', 'join')
+         GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT d.doc_id, d.n_chars FROM documents d JOIN cand USING (doc_id)
+ORDER BY n_chars DESC, doc_id LIMIT 10""",
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_bm25_mixed_roles": _bm25_oracle(

@@ -59,6 +59,10 @@ def parse_args(argv):
     p.add_argument("--ordered", action="store_true",
                    help="near mode: terms must appear in query order")
     p.add_argument("--snippets", action="store_true")
+    p.add_argument("--sort-by", default=None, metavar="COL",
+                   help="order matches by this stored docs column instead "
+                        "of relevance (with --ascending for asc)")
+    p.add_argument("--ascending", action="store_true")
     p.add_argument("--synonym", action="append", default=[],
                    metavar="TERM:ALT1,ALT2",
                    help="bm25 mode: query-time synonym (repeatable); terms "
@@ -128,8 +132,14 @@ def main(argv=None) -> int:
             for raw in args.synonym:
                 t, alts = raw.split(":", 1)
                 synonyms[t] = tuple(a for a in alts.split(",") if a)
-        result = eng.search(args.query, k=args.k, filters=filters,
-                            after=after, synonyms=synonyms)
+        if args.sort_by:
+            result = eng.search_sorted(
+                args.query, by=args.sort_by, k=args.k,
+                ascending=args.ascending, filters=filters,
+            )
+        else:
+            result = eng.search(args.query, k=args.k, filters=filters,
+                                after=after, synonyms=synonyms)
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
     for r in result.collect():
@@ -138,6 +148,9 @@ def main(argv=None) -> int:
             continue
         if args.mode == "suggest":
             print(f"{r['token_pos']}\t{r['token']}\t{r['term']}\t{r['df']}\t{r['dist']}")
+            continue
+        if args.sort_by:
+            print(f"{r['doc_id']}\t{r[args.sort_by]}")
             continue
         extra = f"\t{r['pos']}\t{r['snippet']}" if args.snippets and args.mode == "bm25" else ""
         print(f"{r['doc_id']}\t{r['score']:.6f}{extra}")

@@ -574,6 +574,37 @@ class PerlinEngine:
             field, self.expand_wildcard(field, pattern, max_terms), k
         )
 
+    def search_sorted(
+        self,
+        query: "str | QuerySpec",
+        by: str,
+        k: int | None = 10,
+        ascending: bool = False,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """Results ordered by a STORED document column instead of
+        relevance (recency / length / popularity sorting — Lucene's
+        sort-by-field): the same single-stage candidacy job produces the
+        full match set (scoring skipped from the contract; matching
+        semantics identical to :meth:`search`), which joins a two-column
+        projection of the docs table and takes the global top-k on
+        ``(by asc|desc, doc_id asc)`` — a TakeOrdered, never a full sort.
+        Returns ``(doc_id, <by>)``."""
+        cand = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        if by not in self.index.docs.columns:
+            raise KeyError(
+                f"no stored column {by!r} in the docs table "
+                f"({self.index.docs.columns})"
+            )
+        order = [F.asc(by) if ascending else F.desc(by), F.asc("doc_id")]
+        out = (
+            self.index.docs.select("doc_id", by)
+            .join(cand.select("doc_id"), "doc_id")
+            .orderBy(*order)
+        )
+        return out.limit(k) if k is not None else out
+
     #: substring/regex candidacy intersects at most this many trigrams —
     #: the RAREST by df.  Exactness is unaffected (verification is the
     #: contains/rlike filter; dropping trigrams only widens candidates),

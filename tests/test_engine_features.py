@@ -934,3 +934,25 @@ def test_synonym_any_combinator_union(suggest_engine):
     got = {r["doc_id"] for r in suggest_engine.search(
         "merge", k=10, pipeline=pl).collect()}
     assert got == {0, 1, 2}   # doc 2 matches via the 'filter' alternate
+
+
+# --- sort-by-stored-field ----------------------------------------------------
+
+def test_search_sorted_by_stored_field(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", 10), (1, "alpha", 99), (2, "alpha beta", 55),
+         (3, "gamma", 7)],
+        "doc_id long, text string, stars long",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, docs, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+    got = [(r["doc_id"], r["stars"])
+           for r in eng.search_sorted("alpha beta", by="stars", k=10).collect()]
+    assert got == [(2, 55), (0, 10)]          # conjunctive match, stars desc
+    got_asc = [r["doc_id"] for r in eng.search_sorted(
+        "alpha", by="stars", k=2, ascending=True).collect()]
+    assert got_asc == [0, 2]                  # stars asc, k cut
+    with pytest.raises(KeyError, match="no stored column"):
+        eng.search_sorted("alpha", by="nope")

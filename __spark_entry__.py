@@ -938,6 +938,18 @@ ORDER BY token_pos, dist, df DESC, term
 """
 
 
+def q_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match (the ES dial between OR and AND): the 3-term
+    disjunction tightened to >= 2 distinct matching terms — a NEW
+    candidacy branch in the scorer (per-doc distinct-term counting),
+    scores still summing over all matched terms."""
+    eng = _engine(spark, sf_dir)
+    pl = QueryPipeline(text_spec=DOC_SPEC, text_combinator="any")
+    return _score_x1e4(
+        eng.search("dup stream vector", k=10, pipeline=pl, min_match=2)
+    )
+
+
 def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-by-stored-field: the conjunctive match set ordered by the
     docs-table n_chars column (desc, doc_id tiebreak) — Lucene's
@@ -1093,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snippets": q_snippets,
         "ft_bm25_deleted": q_bm25_deleted,
         "ft_search_after": q_search_after,
+        "ft_min_match": q_min_match,
         "search_hybrid_rrf": q_hybrid_rrf,
         # -- dedup ----------------------------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -1120,9 +1133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_redact_pii,
         "text_mixture_sample": q_mixture_sample,
         # -- events ----------------------------------------------------------
-        "events_windowed_stats": q_events_windowed,
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "events_windowed_stats": q_events_windowed,
         "ft_regex_search": q_regex_search,
         "ft_suggest": q_suggest,
         "ft_synonym_search": q_synonym_search,
@@ -1230,17 +1243,20 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {k}{f" OFFSET {offset}" if offset else
 """
 
 
-def _bm25_groups_oracle(groups: list[list[str]], k: int = 10) -> str:
-    """BM25 over intersecting Any-groups (the synonym-expansion shape):
-    candidacy = docs matching >= 1 term of EVERY group; score = sum over
-    all matched group terms (each term weighted by its own idf)."""
+def _bm25_groups_oracle(groups: list[list[str]], k: int = 10,
+                        mins: list[int] | None = None) -> str:
+    """BM25 over intersecting Any-groups (the synonym-expansion and
+    minimum-should-match shapes): candidacy = docs matching >= mins[i]
+    DISTINCT terms of EVERY group i (default 1); score = sum over all
+    matched group terms (each term weighted by its own idf)."""
+    mins = mins or [1] * len(groups)
     union = sorted({t for g in groups for t in g})
     ulist = ", ".join(f"'{t}'" for t in union)
     having = " AND ".join(
-        "count(DISTINCT CASE WHEN term IN ({0}) THEN term END) >= 1".format(
-            ", ".join(f"'{t}'" for t in g)
+        "count(DISTINCT CASE WHEN term IN ({0}) THEN term END) >= {1}".format(
+            ", ".join(f"'{t}'" for t in g), m
         )
-        for g in groups
+        for g, m in zip(groups, mins)
     )
     return f"""
 WITH {_TOK},
@@ -1983,6 +1999,9 @@ cand AS (SELECT doc_id FROM tfv WHERE term IN ('hash', 'join')
          GROUP BY doc_id HAVING count(DISTINCT term) = 2)
 SELECT d.doc_id, d.n_chars FROM documents d JOIN cand USING (doc_id)
 ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        "ft_min_match": _bm25_groups_oracle(
+            [["dup", "stream", "vector"]], mins=[2]
+        ),
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_bm25_mixed_roles": _bm25_oracle(

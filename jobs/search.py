@@ -59,6 +59,8 @@ def parse_args(argv):
     p.add_argument("--ordered", action="store_true",
                    help="near mode: terms must appear in query order")
     p.add_argument("--snippets", action="store_true")
+    p.add_argument("--min-match", type=int, default=None,
+                   help="bm25 any-mode: require >= m distinct matching terms")
     p.add_argument("--sort-by", default=None, metavar="COL",
                    help="order matches by this stored docs column instead "
                         "of relevance (with --ascending for asc)")
@@ -139,7 +141,8 @@ def main(argv=None) -> int:
             )
         else:
             result = eng.search(args.query, k=args.k, filters=filters,
-                                after=after, synonyms=synonyms)
+                                after=after, synonyms=synonyms,
+                                min_match=args.min_match)
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
     for r in result.collect():

@@ -163,12 +163,16 @@ class PerlinEngine:
         prune: bool = True,
         after: tuple[float, int] | None = None,
         synonyms: "dict[str, tuple[str, ...]] | None" = None,
+        min_match: int | None = None,
     ) -> DataFrame:
         """``after=(score, doc_id)`` (the previous page's last served row)
         requests the NEXT page — constant per-page cost at any depth; see
         :func:`perlin_spark.query.search`.  ``synonyms`` overlays a
         query-time synonym map on the pipeline for this call (see
-        :class:`perlin_spark.analysis.QueryPipeline.synonyms`)."""
+        :class:`perlin_spark.analysis.QueryPipeline.synonyms`).
+        ``min_match=m`` (the ES minimum_should_match dial) tightens every
+        'any' text group of the analyzed query to require >= m DISTINCT
+        matching terms — between pure OR (m=1) and pure AND (m=#terms)."""
         if isinstance(query, str):
             pl = pipeline or self.pipeline
             if synonyms is not None:
@@ -176,6 +180,16 @@ class PerlinEngine:
 
                 pl = dataclasses.replace(pl, synonyms=synonyms)
             spec = pl.analyze(query, self._filter_tuples(filters))
+            if min_match is not None:
+                spec = QuerySpec(
+                    groups=tuple(
+                        (g[0], g[1], g[2], min_match)
+                        if g[1] == "any" and g[0] == pl.text_spec.field
+                        else g
+                        for g in spec.groups
+                    ),
+                    filters=spec.filters,
+                )
         else:
             spec = query
         return _search(self.index, spec, k=k, prune=prune, after=after)

@@ -254,7 +254,9 @@ class _ShardScorer:
         for op in operands.values():
             if op["role"] == "group":
                 g = groups.setdefault(op["group"], {"comb": op["comb"],
-                                                    "gsize": op["gsize"], "terms": []})
+                                                    "gsize": op["gsize"],
+                                                    "mm": op.get("mm", 1),
+                                                    "terms": []})
                 g["terms"].append(op)
             elif op["role"] == "must":
                 must.append(op)
@@ -280,7 +282,7 @@ class _ShardScorer:
             and not may
         ):
             (g,) = groups.values()
-            if g["comb"] == "any" and len(g["terms"]) > 1:
+            if g["comb"] == "any" and len(g["terms"]) > 1 and g.get("mm", 1) == 1:
                 return self._score_maxscore(g["terms"], blobs_by_term, dl_lookup)
 
         cand: np.ndarray | None = None
@@ -299,9 +301,20 @@ class _ShardScorer:
                         gset = gset[_membership(d, gset) >= 0]
                     if gset.size == 0:
                         return self._empty()
-            else:  # any
+            else:  # any (with optional minimum-should-match)
+                mm = g.get("mm", 1)
+                if len(terms) < mm:
+                    # fewer group terms PRESENT in this shard than the
+                    # floor — no doc here can satisfy the group
+                    return self._empty()
                 parts = [decode_full((op["field"], op["term"]))[0] for op in terms]
-                gset = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+                if mm <= 1:
+                    gset = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+                else:
+                    # each term's doc list is distinct, so a doc's count
+                    # across the concatenation = matched distinct terms
+                    uniqd, cnt = np.unique(np.concatenate(parts), return_counts=True)
+                    gset = uniqd[cnt >= mm]
             cand = gset if cand is None else np.intersect1d(cand, gset, assume_unique=True)
             if cand is None or cand.size == 0:
                 return self._empty()
@@ -510,7 +523,17 @@ def _query_ops(query: QuerySpec, ratios: dict[str, float]) -> tuple[list[dict], 
     src/document_index.rs:145)."""
     ops: list[dict] = []
     n_groups = 0
-    for gid, (field, comb, terms) in enumerate(query.groups):
+    for gid, g in enumerate(query.groups):
+        # groups are (field, comb, terms[, min_match]) — the optional 4th
+        # element is minimum-should-match for 'any' groups (candidates
+        # must match >= that many DISTINCT group terms; 1 = plain any)
+        field, comb, terms = g[0], g[1], g[2]
+        mm = int(g[3]) if len(g) > 3 else 1
+        if mm < 1:
+            raise ValueError(f"min_match must be >= 1, got {mm}")
+        if mm > 1 and comb != "any":
+            raise ValueError("min_match applies to 'any' groups only "
+                             "('all' already requires every term)")
         uniq = list(dict.fromkeys(terms))
         if not uniq:
             continue
@@ -518,6 +541,7 @@ def _query_ops(query: QuerySpec, ratios: dict[str, float]) -> tuple[list[dict], 
         for term in uniq:
             ops.append({"field": field, "term": term, "role": "group",
                         "group": gid, "comb": comb, "gsize": len(uniq),
+                        "mm": mm,
                         "weight": 1.0 / ratios.get(field, 1.0)})
     filters = list(dict.fromkeys(query.filters))
     n_must = sum(1 for op, _, _ in filters if op == "must")

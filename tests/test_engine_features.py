@@ -956,3 +956,36 @@ def test_search_sorted_by_stored_field(spark):
     assert got_asc == [0, 2]                  # stars asc, k cut
     with pytest.raises(KeyError, match="no stored column"):
         eng.search_sorted("alpha", by="nope")
+
+
+# --- minimum-should-match -----------------------------------------------------
+
+def test_min_match_dial(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta"), (2, "alpha"),
+         (3, "beta gamma"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    pl = QueryPipeline(text_spec=spec, text_combinator="any")
+    eng = PerlinEngine.build(spark, docs, [spec], pipeline=pl, n_shards=2).cache()
+    q = "alpha beta gamma"
+
+    def ids(**kw):
+        return sorted(r["doc_id"] for r in eng.search(q, k=10, **kw).collect())
+
+    assert ids(min_match=1) == [0, 1, 2, 3]       # plain OR
+    assert ids(min_match=2) == [0, 1, 3]
+    assert ids(min_match=3) == [0]                # == AND
+    assert ids(min_match=4) == []                 # unsatisfiable
+    # mm=1 must equal the default OR ranking exactly (scores included)
+    base = [(r["doc_id"], r["score"]) for r in eng.search(q, k=10).collect()]
+    mm1 = [(r["doc_id"], r["score"]) for r in eng.search(q, k=10, min_match=1).collect()]
+    assert mm1 == base
+    # scores at mm=2 still sum over ALL matched terms (doc 0 outranks 1/3)
+    top = eng.search(q, k=1, min_match=2).collect()[0]
+    assert top["doc_id"] == 0
+    # min_match on an 'all' group refuses
+    with pytest.raises(ValueError, match="'any' groups only"):
+        from perlin_spark.analysis import QuerySpec
+        eng.search(QuerySpec(groups=(("text", "all", ("alpha", "beta"), 2),)), k=5)

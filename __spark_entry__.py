@@ -938,6 +938,19 @@ ORDER BY token_pos, dist, df DESC, term
 """
 
 
+BOOSTS = {"stream": 2.5}
+
+
+def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term score boosts (Lucene term^w): the OR query with one term's
+    contribution scaled 2.5x — candidacy untouched, ranking re-weighted."""
+    eng = _engine(spark, sf_dir)
+    pl = QueryPipeline(text_spec=DOC_SPEC, text_combinator="any")
+    return _score_x1e4(
+        eng.search("dup stream vector", k=10, pipeline=pl, boosts=BOOSTS)
+    )
+
+
 def q_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-should-match (the ES dial between OR and AND): the 3-term
     disjunction tightened to >= 2 distinct matching terms — a NEW
@@ -1140,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_suggest,
         "ft_synonym_search": q_synonym_search,
         "ft_sorted_search": q_sorted_search,
+        "ft_boosted_search": q_boosted_search,
         "ft_facet_counts": q_facet_counts,
         "ft_must_filter": q_must_filter,
         "ft_near_search": q_near_search,
@@ -2002,6 +2016,25 @@ ORDER BY n_chars DESC, doc_id LIMIT 10""",
         "ft_min_match": _bm25_groups_oracle(
             [["dup", "stream", "vector"]], mins=[2]
         ),
+        "ft_boosted_search": f"""
+WITH {_TOK},
+qt AS (SELECT * FROM (VALUES ('dup', 1.0), ('stream', {BOOSTS['stream']}),
+                             ('vector', 1.0)) AS t(term, boost)),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term IN (SELECT term FROM qt)),
+sc AS (
+  SELECT m.doc_id,
+         sum(b.boost
+             * ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf q USING (term) JOIN qt b USING (term)
+       JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_bm25_mixed_roles": _bm25_oracle(

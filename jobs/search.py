@@ -61,6 +61,8 @@ def parse_args(argv):
     p.add_argument("--snippets", action="store_true")
     p.add_argument("--min-match", type=int, default=None,
                    help="bm25 any-mode: require >= m distinct matching terms")
+    p.add_argument("--boost", action="append", default=[], metavar="TERM:W",
+                   help="bm25 mode: per-term score boost (repeatable)")
     p.add_argument("--sort-by", default=None, metavar="COL",
                    help="order matches by this stored docs column instead "
                         "of relevance (with --ascending for asc)")
@@ -140,9 +142,15 @@ def main(argv=None) -> int:
                 ascending=args.ascending, filters=filters,
             )
         else:
+            boosts = None
+            if args.boost:
+                boosts = {}
+                for raw in args.boost:
+                    t, w = raw.rsplit(":", 1)
+                    boosts[t] = float(w)
             result = eng.search(args.query, k=args.k, filters=filters,
                                 after=after, synonyms=synonyms,
-                                min_match=args.min_match)
+                                min_match=args.min_match, boosts=boosts)
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
     for r in result.collect():

@@ -164,6 +164,7 @@ class PerlinEngine:
         after: tuple[float, int] | None = None,
         synonyms: "dict[str, tuple[str, ...]] | None" = None,
         min_match: int | None = None,
+        boosts: "dict[str, float] | None" = None,
     ) -> DataFrame:
         """``after=(score, doc_id)`` (the previous page's last served row)
         requests the NEXT page — constant per-page cost at any depth; see
@@ -172,7 +173,10 @@ class PerlinEngine:
         :class:`perlin_spark.analysis.QueryPipeline.synonyms`).
         ``min_match=m`` (the ES minimum_should_match dial) tightens every
         'any' text group of the analyzed query to require >= m DISTINCT
-        matching terms — between pure OR (m=1) and pure AND (m=#terms)."""
+        matching terms — between pure OR (m=1) and pure AND (m=#terms).
+        ``boosts={term: w}`` (Lucene's ``term^w``) multiplies a term's
+        score contribution; candidacy is untouched.  Boost keys are
+        ANALYZED terms (post lowercase/stem)."""
         if isinstance(query, str):
             pl = pipeline or self.pipeline
             if synonyms is not None:
@@ -192,7 +196,8 @@ class PerlinEngine:
                 )
         else:
             spec = query
-        return _search(self.index, spec, k=k, prune=prune, after=after)
+        return _search(self.index, spec, k=k, prune=prune, after=after,
+                       boosts=boosts)
 
     def explain_query(
         self,

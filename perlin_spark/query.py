@@ -516,11 +516,14 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
 _ShardScorer._score_maxscore = _scorer_maxscore
 
 
-def _query_ops(query: QuerySpec, ratios: dict[str, float]) -> tuple[list[dict], int, int]:
+def _query_ops(query: QuerySpec, ratios: dict[str, float],
+               boosts: "dict[str, float] | None" = None) -> tuple[list[dict], int, int]:
     """QuerySpec -> (op dicts, n_groups, n_must).  The counts make a shard
     (or index) where a whole group / Must filter matched nothing yield
     NOTHING, not "unconstrained" (unknown term -> empty result,
-    src/document_index.rs:145)."""
+    src/document_index.rs:145).  ``boosts`` multiplies a term's score
+    weight (Lucene's ``term^2``): candidacy is untouched — a boost of 0
+    keeps the term matching, contributing nothing."""
     ops: list[dict] = []
     n_groups = 0
     for gid, g in enumerate(query.groups):
@@ -539,10 +542,11 @@ def _query_ops(query: QuerySpec, ratios: dict[str, float]) -> tuple[list[dict], 
             continue
         n_groups += 1
         for term in uniq:
+            boost = boosts.get(term, 1.0) if boosts else 1.0
             ops.append({"field": field, "term": term, "role": "group",
                         "group": gid, "comb": comb, "gsize": len(uniq),
                         "mm": mm,
-                        "weight": 1.0 / ratios.get(field, 1.0)})
+                        "weight": boost / ratios.get(field, 1.0)})
     filters = list(dict.fromkeys(query.filters))
     n_must = sum(1 for op, _, _ in filters if op == "must")
     for fid, (op, field, term) in enumerate(filters):
@@ -571,6 +575,7 @@ def search(
     k: int | None = 10,
     prune: bool = True,
     after: tuple[float, int] | None = None,
+    boosts: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """Run an analyzed query -> DataFrame (doc_id, score), best first.
 
@@ -599,7 +604,7 @@ def search(
         if s.number_field:
             ratios.setdefault(s.number_field, 1.0)
 
-    ops, n_groups, n_must = _query_ops(query, ratios)
+    ops, n_groups, n_must = _query_ops(query, ratios, boosts=boosts)
     return _execute_ops(index, ops, n_groups, n_must, k=k, prune=prune,
                         after=after)
 

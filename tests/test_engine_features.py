@@ -989,3 +989,29 @@ def test_min_match_dial(spark):
     with pytest.raises(ValueError, match="'any' groups only"):
         from perlin_spark.analysis import QuerySpec
         eng.search(QuerySpec(groups=(("text", "all", ("alpha", "beta"), 2),)), k=5)
+
+
+# --- per-term boosts -----------------------------------------------------------
+
+def test_term_boosts_scale_contribution(suggest_engine):
+    eng = suggest_engine
+    base = {r["doc_id"]: r["score"] for r in eng.search("merge stream", k=10).collect()}
+    # boost=1 for every term: byte-identical to the default path
+    same = {r["doc_id"]: r["score"]
+            for r in eng.search("merge stream", k=10,
+                                boosts={"merge": 1.0, "stream": 1.0}).collect()}
+    assert same == base
+    # boost=0 zeroes a term's contribution but keeps it matching
+    zero = {r["doc_id"]: r["score"]
+            for r in eng.search("merge stream", k=10, boosts={"stream": 0.0}).collect()}
+    assert set(zero) == set(base)
+    only_merge = {r["doc_id"]: r["score"]
+                  for r in eng.search("merge", k=10).collect()}
+    for d, s in zero.items():
+        assert s == pytest.approx(only_merge[d])
+    # boost=3 triples exactly the boosted term's share
+    tripled = {r["doc_id"]: r["score"]
+               for r in eng.search("merge stream", k=10, boosts={"stream": 3.0}).collect()}
+    for d in base:
+        stream_part = base[d] - only_merge.get(d, 0.0)
+        assert tripled[d] == pytest.approx(only_merge.get(d, 0.0) + 3.0 * stream_part)

@@ -593,6 +593,36 @@ class PerlinEngine:
             field, self.expand_wildcard(field, pattern, max_terms), k
         )
 
+    def describe(self) -> dict:
+        """Driver-side index summary (Lucene's IndexReader stats /
+        _cat/indices analog): corpus size, per-field vocabulary sizes,
+        postings row count, scoring params, sidecar presence, tombstone
+        count.  Two tiny aggregate jobs (vocabulary groupBy + postings
+        count) — blob columns are never touched."""
+        idx = self.index
+        terms_per_field = {
+            r["field"]: int(r["n"])
+            for r in (
+                (idx.vocab_source if idx.vocab_source is not None else idx.vocabulary)
+                .groupBy("field").agg(F.count("*").alias("n")).collect()
+            )
+        }
+        deleted = idx.deleted_array() if hasattr(idx, "deleted_array") else None
+        return {
+            "n_docs": int(idx.n_docs),
+            "fields": [s.field for s in idx.specs],
+            "terms_per_field": terms_per_field,
+            "postings_rows": int(idx.postings.count()),
+            "n_shards": int(idx.n_shards),
+            "buckets": idx.buckets,
+            "block_size": int(idx.block_size),
+            "similarity": getattr(idx, "similarity", "bm25"),
+            "k1": float(idx.k1),
+            "b": float(idx.b),
+            "positions_sidecar": idx.positions is not None,
+            "deleted_docs": 0 if deleted is None else int(len(deleted)),
+        }
+
     def search_sorted(
         self,
         query: "str | QuerySpec",

@@ -1015,3 +1015,12 @@ def test_term_boosts_scale_contribution(suggest_engine):
     for d in base:
         stream_part = base[d] - only_merge.get(d, 0.0)
         assert tripled[d] == pytest.approx(only_merge.get(d, 0.0) + 3.0 * stream_part)
+
+
+def test_describe_index_summary(suggest_engine):
+    d = suggest_engine.describe()
+    assert d["n_docs"] == 3 and d["fields"] == ["text"]
+    assert d["terms_per_field"]["text"] == 6   # merge sort window stream filter scan
+    assert d["postings_rows"] > 0 and d["similarity"] == "bm25"
+    assert d["k1"] == 1.2 and d["b"] == 0.75
+    assert d["positions_sidecar"] is False and d["deleted_docs"] == 0

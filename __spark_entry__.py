@@ -938,6 +938,18 @@ ORDER BY token_pos, dist, df DESC, term
 """
 
 
+def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric sub-aggregation per facet bucket (ES terms-agg + stats):
+    n_chars stats per source over the full one-term match set."""
+    eng = _engine(spark, sf_dir)
+    out = eng.facet_stats(FACET_QUERY, by=FACET_BY, value="n_chars")
+    return out.select(
+        FACET_BY, "n_docs", "min_value", "max_value",
+        F.floor(F.col("avg_value") * 10000 + F.lit(0.5)).cast("long").alias("avg_x1e4"),
+        "sum_value",
+    )
+
+
 BOOSTS = {"stream": 2.5}
 
 
@@ -1154,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_synonym_search": q_synonym_search,
         "ft_sorted_search": q_sorted_search,
         "ft_boosted_search": q_boosted_search,
+        "ft_facet_stats": q_facet_stats,
         "ft_facet_counts": q_facet_counts,
         "ft_must_filter": q_must_filter,
         "ft_near_search": q_near_search,
@@ -1255,6 +1268,19 @@ sc AS (
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM sc ORDER BY score DESC, doc_id LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 """
+
+
+def _facet_stats_oracle() -> str:
+    """Twin of q_facet_stats: per-bucket numeric stats over the match set."""
+    return f"""
+WITH {_TOK},
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term = '{FACET_QUERY}')
+SELECT d.{FACET_BY} AS {FACET_BY}, count(*)::BIGINT AS n_docs,
+       min(d.n_chars) AS min_value, max(d.n_chars) AS max_value,
+       CAST(floor(avg(d.n_chars) * 10000 + 0.5) AS BIGINT) AS avg_x1e4,
+       sum(d.n_chars)::BIGINT AS sum_value
+FROM documents d JOIN cand USING (doc_id)
+GROUP BY 1 ORDER BY n_docs DESC, {FACET_BY}"""
 
 
 def _bm25_groups_oracle(groups: list[list[str]], k: int = 10,
@@ -2274,6 +2300,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_phrase_search": _phrase_search_oracle(),
         "ft_near_search": _near_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
+        "ft_facet_stats": _facet_stats_oracle(),
         "ft_more_like_this": _more_like_this_oracle(),
         "ft_snippets": _snippets_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),

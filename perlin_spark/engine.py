@@ -1007,6 +1007,42 @@ class PerlinEngine:
         )
         return out.limit(k) if k is not None else out
 
+    def facet_stats(
+        self,
+        query: str | QuerySpec,
+        by: str,
+        value: str,
+        filters=(),
+        k: int | None = None,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """Numeric sub-aggregation per facet bucket over the FULL match
+        set (the ES terms-agg + stats shape): ``(by, n_docs, min_value,
+        max_value, avg_value, sum_value)`` of the stored numeric docs
+        column ``value``, bucketed by the docs column ``by``.  Same plan
+        as :meth:`facet_counts` — one search job + a three-column docs
+        join + one aggregation; n_docs desc, bucket asc."""
+        for col in (by, value):
+            if col not in self.index.docs.columns:
+                raise KeyError(
+                    f"no stored column {col!r} in the docs table "
+                    f"({self.index.docs.columns})"
+                )
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        out = (
+            hits.join(self.index.docs.select("doc_id", by, value), "doc_id")
+            .groupBy(by)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(value).alias("min_value"),
+                F.max(value).alias("max_value"),
+                F.avg(value).alias("avg_value"),
+                F.sum(value).alias("sum_value"),
+            )
+            .orderBy(F.desc("n_docs"), F.asc(by))
+        )
+        return out.limit(k) if k is not None else out
+
     #: snippet context half-width (tokens each side) — operator contract
     SNIPPET_WINDOW = 3
 

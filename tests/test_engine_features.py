@@ -1024,3 +1024,21 @@ def test_describe_index_summary(suggest_engine):
     assert d["postings_rows"] > 0 and d["similarity"] == "bm25"
     assert d["k1"] == 1.2 and d["b"] == 0.75
     assert d["positions_sidecar"] is False and d["deleted_docs"] == 0
+
+
+def test_facet_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "py", 10), (1, "alpha", "py", 30),
+         (2, "alpha beta", "rs", 20), (3, "gamma", "py", 99)],
+        "doc_id long, text string, lang string, stars long",
+    )
+    spec = FieldSpec(field="text", source="text")
+    pl = QueryPipeline(text_spec=spec, text_combinator="any")
+    eng = PerlinEngine.build(spark, docs, [spec], pipeline=pl, n_shards=2)
+    rows = {r["lang"]: r for r in eng.facet_stats("alpha", by="lang", value="stars").collect()}
+    assert rows["py"]["n_docs"] == 2 and rows["py"]["min_value"] == 10
+    assert rows["py"]["max_value"] == 30 and rows["py"]["sum_value"] == 40
+    assert rows["py"]["avg_value"] == pytest.approx(20.0)
+    assert rows["rs"]["n_docs"] == 1 and rows["rs"]["sum_value"] == 20
+    with pytest.raises(KeyError, match="no stored column"):
+        eng.facet_stats("alpha", by="lang", value="nope")

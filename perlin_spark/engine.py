@@ -686,13 +686,37 @@ class PerlinEngine:
     def _empty_ids(self) -> DataFrame:
         return self.index.spark.createDataFrame([], "doc_id long")
 
+    #: substring/regex verify: candidate doc_ids at or under this count
+    #: are collected (<=32 KB of int64) and pushed into the docs scan as
+    #: an IN predicate — with a doc_id-clustered layout that is row-group
+    #: min/max pruning, so verify IO is candidates-only.  Catalyst would
+    #: otherwise push the contains()/rlike() below the candidate join and
+    #: the docs side becomes a FULL corpus scan (found by plan_audit).
+    #: Above the cap the join plan runs instead: a needle common enough
+    #: to produce thousands of candidates amortizes a scan, and a
+    #: many-thousand-literal InSet costs real plan-compile time
+    VERIFY_IDS_MAX = 4096
+
+    def _verify_base(self, cand: DataFrame, src: str) -> DataFrame:
+        """Docs-side verify input: the two-column projection restricted
+        to candidates — id-pushdown plan under the cap, join plan above."""
+        ids = [r["doc_id"] for r in cand.limit(self.VERIFY_IDS_MAX + 1).collect()]
+        base = self.index.docs.select("doc_id", src)
+        if len(ids) <= self.VERIFY_IDS_MAX:
+            # the limit did not truncate, so `ids` IS the complete set
+            return base.filter(F.col("doc_id").isin(ids))
+        return base.join(cand, "doc_id")
+
     def search_substring(self, needle: str, k: int | None = None) -> DataFrame:
         """Exact substring search over the raw content — the code-search
         primitive (grep for a fixed string), served by the trigram field
         (``perlin_spark.trigram``; Cox's trigram index): candidacy = AND
         over the needle's rarest trigrams (one bucket-pruned single-stage
         job, same plan as BM25), then ``contains(content, needle)`` runs
-        on CANDIDATE rows only of a two-column corpus projection.  Returns
+        on CANDIDATE rows only of a two-column corpus projection — the
+        candidate ids ride into the docs scan as an IN predicate
+        (:meth:`_verify_base`, row-group pruning under a doc_id-clustered
+        layout; join-plan fallback past ``VERIFY_IDS_MAX``).  Returns
         ``(doc_id)`` ascending; ``k=None`` = the full match set.  Needles
         shorter than 3 chars are below the trigram floor and refuse
         loudly (filter the corpus scan directly for those)."""
@@ -716,8 +740,7 @@ class PerlinEngine:
         src = spec.source
         scan_col = F.lower(F.col(src)) if fold else F.col(src)
         out = (
-            self.index.docs.select("doc_id", src)
-            .join(cand, "doc_id")
+            self._verify_base(cand, src)
             .filter(scan_col.contains(probe))
             .select("doc_id")
             .orderBy("doc_id")
@@ -753,7 +776,7 @@ class PerlinEngine:
             cand = self._tri_candidates(spec, tris)
             if cand is None:
                 return self._empty_ids()
-            base = base.join(cand, "doc_id")
+            base = self._verify_base(cand, src)
         elif not allow_scan:
             raise ValueError(
                 f"regex {pattern!r} has no mandatory literal run of >= 3 "

@@ -91,7 +91,29 @@ def main() -> None:
          f"Cartesian x{plan3.count('Cartesian')}",
          grep(plan3, r"BroadcastHashJoin", 2))
 
-    # 4. IVF at rest: probed cells prune the parquet scan
+    # 4. persisted trigram substring search: candidacy is the stock
+    #    bucket-pruned search plan; the verify side is a TWO-COLUMN docs
+    #    projection with the contains predicate ABOVE the candidate join
+    root_t = os.path.join(tmp, "idx_tri")
+    tri = FieldSpec(field="tri3", source="text", tokenizer="trigram",
+                    lowercase=False)
+    build_epoch(spark, docs, [spec, tri], root_t, content_col="text",
+                n_shards=4, buckets=8)
+    idx_t = load_index(spark, root_t)
+    sub = PerlinEngine(idx_t, pl).search_substring("ream merge")
+    sub.collect()
+    plan_t = sub._jdf.queryExecution().executedPlan().toString()
+    show("persisted substring search",
+         "verify scan is candidate-restricted: candidate ids ride in as "
+         "an IN/INSET doc_id predicate (row-group pruning under doc_id "
+         "clustering) and the docs scan projects only (doc_id, text) — "
+         "Catalyst would otherwise push contains() below the join and "
+         "full-scan the corpus (the defect this plan replaces)",
+         grep(plan_t, r"Contains", 1)
+         + grep(plan_t, r"doc_id#\d+L IN|INSET|dynamicpruning", 2)
+         + [l for l in plan_t.splitlines() if "ReadSchema" in l and "text" in l][:1])
+
+    # 5. IVF at rest: probed cells prune the parquet scan
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     cells = os.path.join(tmp, "cells")

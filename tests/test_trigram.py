@@ -131,12 +131,14 @@ def test_no_trigram_field_is_loud(spark):
         eng.search_substring("quick")
 
 
-def test_candidate_plan_joins_before_verify(tri_engine):
-    """The verify filter must sit above the candidate join (candidates-only
-    contains), and the corpus side must be a two-column projection."""
+def test_candidate_plan_restricts_verify_to_candidates(tri_engine):
+    """The verify scan must be candidate-restricted: under VERIFY_IDS_MAX
+    the candidate ids ride in as an IN/INSET predicate on doc_id (no join,
+    no full-corpus contains); the contains test applies on top."""
     plan = tri_engine.search_substring("quick brown")._jdf.queryExecution().executedPlan().toString()
     assert "Contains" in plan or "contains" in plan
-    assert "Join" in plan or "BroadcastHashJoin" in plan
+    up = plan.upper()
+    assert "INSET" in up or "DOC_ID#0L IN" in up or " IN (" in up
 
 @pytest.fixture(scope="module")
 def folded_engine(spark):
@@ -165,3 +167,21 @@ def test_substring_case_folded_field(folded_engine):
 def test_regex_case_folded_field(folded_engine):
     got = [r["doc_id"] for r in folded_engine.search_regex("BROWN f[ox]x").collect()]
     assert got == [0, 1]
+
+
+def test_verify_id_pushdown_and_join_fallback_agree(tri_engine):
+    """Under the cap the verify side is an IN-pushdown scan (no full-corpus
+    contains); past the cap the join plan serves the same rows."""
+    got = [r["doc_id"] for r in tri_engine.search_substring("quick brown").collect()]
+    plan = tri_engine.search_substring("quick brown")._jdf.queryExecution().executedPlan().toString()
+    assert "doc_id#" in plan and ("INSET" in plan.upper() or " IN (" in plan)
+    # force the join fallback on this instance
+    old = tri_engine.VERIFY_IDS_MAX
+    tri_engine.VERIFY_IDS_MAX = 0
+    try:
+        got2 = [r["doc_id"] for r in tri_engine.search_substring("quick brown").collect()]
+        got3 = [r["doc_id"] for r in tri_engine.search_regex("qu[io]ck brown").collect()]
+    finally:
+        tri_engine.VERIFY_IDS_MAX = old
+    assert got2 == got
+    assert got3 == [r["doc_id"] for r in tri_engine.search_regex("qu[io]ck brown").collect()]

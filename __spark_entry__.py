@@ -950,6 +950,18 @@ def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSTRING = "dup +stream -vector"   # scored term + Must + MustNot clauses
+
+
+def q_query_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query-string mini-language (perlin_spark.qparser): one string
+    carrying a scored term, a +must and a -not clause, assembled into
+    the same ops the dedicated operators execute."""
+    eng = _engine(spark, sf_dir)
+    pl = QueryPipeline(text_spec=DOC_SPEC, text_combinator="any")
+    return _score_x1e4(eng.query(QSTRING, k=10, pipeline=pl))
+
+
 BOOSTS = {"stream": 2.5}
 
 
@@ -1167,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sorted_search": q_sorted_search,
         "ft_boosted_search": q_boosted_search,
         "ft_facet_stats": q_facet_stats,
+        "ft_query_language": q_query_language,
         "ft_facet_counts": q_facet_counts,
         "ft_must_filter": q_must_filter,
         "ft_near_search": q_near_search,
@@ -2301,6 +2314,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_near_search": _near_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
         "ft_facet_stats": _facet_stats_oracle(),
+        # the parser maps 'dup +stream -vector' onto exactly the
+        # single-term-scored / Must / MustNot oracle shape
+        "ft_query_language": _bm25_oracle(
+            ["dup"], conj=False, must=["stream"], must_not=["vector"]
+        ),
         "ft_more_like_this": _more_like_this_oracle(),
         "ft_snippets": _snippets_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),

@@ -43,7 +43,7 @@ def parse_args(argv):
     p.add_argument("--mode",
                    choices=["bm25", "phrase", "near", "prefix", "fuzzy",
                             "wildcard", "mlt", "substring", "regex",
-                            "suggest"],
+                            "suggest", "qstring"],
                    default="bm25")
     p.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
                    help="bm25 mode: deep-pagination cursor — the previous "
@@ -123,6 +123,8 @@ def main(argv=None) -> int:
         result = eng.search_regex(args.query, k=args.k, allow_scan=args.allow_scan)
     elif args.mode == "suggest":
         result = eng.suggest(args.query, k=args.k, max_edits=args.max_edits)
+    elif args.mode == "qstring":
+        result = eng.query(args.query, k=args.k)
     elif args.snippets:
         result = eng.snippets(args.query, k=args.k, filters=filters)
     else:

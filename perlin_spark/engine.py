@@ -593,6 +593,102 @@ class PerlinEngine:
             field, self.expand_wildcard(field, pattern, max_terms), k
         )
 
+    def query(
+        self,
+        q: str,
+        k: int | None = 10,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """Run a query-string in the mini-language
+        (:mod:`perlin_spark.qparser` — the Lucene classic QueryParser
+        shape: ``+must -not field:term term^2 "a phrase" wild* fuzzy~``).
+        Pure assembly over existing operators:
+
+        * plain terms analyze through the pipeline into the default
+          combinator group, with ``^boosts`` mapped to their analyzed
+          forms;
+        * each wildcard / fuzzy token expands against the vocabulary into
+          its own Any-subgroup (groups intersect);
+        * each phrase's terms join the spec as a conjunctive group, then
+          its adjacency-verified match set filters the hits (rank-then-
+          verify, the ``search_phrase`` semantics); ``-"phrase"`` anti-
+          joins instead;
+        * ``+term`` / ``-term`` / ``field:term`` become Must / MustNot
+          filters (explicit-field terms are INDEX terms, not re-analyzed).
+        """
+        from .qparser import parse_query
+
+        pl = pipeline or self.pipeline
+        spec_field = pl.text_spec.field
+        p = parse_query(q)
+
+        def analyzed(tok: str) -> list[str]:
+            return self._analyze_ordered(tok, pl.text_spec)
+
+        base = pl.analyze(" ".join(p.terms)) if p.terms else QuerySpec()
+        groups = list(base.groups)
+        boosts: dict[str, float] = {}
+        for tok, w in p.boosts.items():
+            for t in analyzed(tok):
+                boosts[t] = w
+        for pat in p.wildcards:
+            exp = self.expand_wildcard(spec_field, pat)
+            groups.append((spec_field, "any", tuple(exp)))
+        for tok, edits in p.fuzzy:
+            exp = self.expand_fuzzy(spec_field, tok, max_edits=edits)
+            groups.append((spec_field, "any", tuple(exp)))
+        phrase_terms: list[list[str]] = []
+        for ph in p.phrases:
+            terms = analyzed(ph)
+            phrase_terms.append(terms)
+            uniq = tuple(dict.fromkeys(terms))
+            if uniq:
+                groups.append((spec_field, "all", uniq))
+        filters: list[tuple] = list(base.filters)
+        for fname, tok in p.musts:
+            if fname is not None:
+                filters.append(("must", fname, tok))
+            else:
+                for t in analyzed(tok):
+                    filters.append(("must", spec_field, t))
+        for fname, tok in p.must_nots:
+            if fname is not None:
+                filters.append(("must_not", fname, tok))
+            else:
+                for t in analyzed(tok):
+                    filters.append(("must_not", spec_field, t))
+        spec = QuerySpec(groups=tuple(groups), filters=tuple(filters))
+        hits = _search(self.index, spec, k=None, boosts=boosts or None)
+        for ph, terms in zip(p.phrases, phrase_terms):
+            if len(terms) > 1:
+                hits = hits.join(self._phrase_match_set(ph, pl), "doc_id")
+        for ph in p.not_phrases:
+            terms = analyzed(ph)
+            if len(terms) > 1:
+                hits = hits.join(
+                    self._phrase_match_set(ph, pl), "doc_id", "left_anti"
+                )
+            elif terms:
+                # single-token "phrase" exclusion == MustNot on the term
+                hits = hits.join(
+                    self.search(
+                        QuerySpec(groups=((pl.text_spec.field, "all",
+                                           tuple(terms)),)), k=None
+                    ).select("doc_id"),
+                    "doc_id", "left_anti",
+                )
+        hits = hits.orderBy(F.desc("score"), F.asc("doc_id"))
+        return hits.limit(k) if k is not None else hits
+
+    def _phrase_match_set(self, phrase: str, pl: QueryPipeline) -> DataFrame:
+        """doc_ids where the phrase's analyzed terms occur adjacent in
+        order — the verify half of :meth:`search_phrase` (positional
+        sidecar when present, candidates-only re-analysis otherwise)."""
+        return self.search_phrase(
+            phrase, k=None,
+            pipeline=QueryPipeline(text_spec=pl.text_spec, text_combinator="all"),
+        ).select("doc_id")
+
     def describe(self) -> dict:
         """Driver-side index summary (Lucene's IndexReader stats /
         _cat/indices analog): corpus size, per-field vocabulary sizes,

@@ -185,15 +185,26 @@ class PerlinEngine:
                 pl = dataclasses.replace(pl, synonyms=synonyms)
             spec = pl.analyze(query, self._filter_tuples(filters))
             if min_match is not None:
-                spec = QuerySpec(
-                    groups=tuple(
-                        (g[0], g[1], g[2], min_match)
-                        if g[1] == "any" and g[0] == pl.text_spec.field
-                        else g
-                        for g in spec.groups
-                    ),
-                    filters=spec.filters,
+                if synonyms is not None:
+                    raise ValueError(
+                        "min_match cannot combine with synonyms: synonym "
+                        "expansion builds one Any-group PER QUERY SLOT, so "
+                        "a group-level floor would mean 'm alternates of "
+                        "each slot', not 'm of the query terms'"
+                    )
+                groups = tuple(
+                    (g[0], g[1], g[2], min_match)
+                    if g[1] == "any" and g[0] == pl.text_spec.field
+                    else g
+                    for g in spec.groups
                 )
+                if groups == spec.groups:
+                    raise ValueError(
+                        "min_match needs a disjunctive text group — use a "
+                        "pipeline with text_combinator='any' ('all' already "
+                        "requires every term)"
+                    )
+                spec = QuerySpec(groups=groups, filters=spec.filters)
         else:
             spec = query
         return _search(self.index, spec, k=k, prune=prune, after=after,

@@ -1042,3 +1042,15 @@ def test_facet_stats(spark):
     assert rows["rs"]["n_docs"] == 1 and rows["rs"]["sum_value"] == 20
     with pytest.raises(KeyError, match="no stored column"):
         eng.facet_stats("alpha", by="lang", value="nope")
+
+
+def test_min_match_guards(suggest_engine):
+    # suggest_engine's pipeline is conjunctive: min_match must refuse
+    with pytest.raises(ValueError, match="disjunctive text group"):
+        suggest_engine.search("merge stream", min_match=2)
+    # and never combine with synonyms
+    import dataclasses
+    pl_any = dataclasses.replace(suggest_engine.pipeline, text_combinator="any")
+    with pytest.raises(ValueError, match="cannot combine with synonyms"):
+        suggest_engine.search("merge stream", pipeline=pl_any, min_match=2,
+                              synonyms={"merge": ("filter",)})

@@ -5,7 +5,7 @@ Usage::
     cd /root/repo && zip -r /tmp/perlin_spark.zip perlin_spark
     spark-submit --py-files /tmp/perlin_spark.zip jobs/search.py \
         --index /path/to/index_root --query "hash join" --k 10 \
-        [--mode bm25|phrase|near|prefix|fuzzy|wildcard|mlt|substring|regex|suggest] \
+        [--mode bm25|phrase|near|prefix|fuzzy|wildcard|mlt|substring|regex|suggest|qstring] \
         [--field content] [--combinator all|any] \
         [--must field:term ...] [--must-not field:term ...] \
         [--window 3] [--ordered] [--after SCORE:DOC_ID] [--allow-scan] \
@@ -19,7 +19,9 @@ glob as the query), ``mlt`` (more-like-this; ``--query`` is the seed
 doc_id), ``substring``/``regex`` (trigram-pruned raw-content grep; the
 index must carry a ``tokenizer='trigram'`` field), ``suggest``
 (did-you-mean: per-token top-k corrections, tab-separated
-``token_pos token term df dist``).  ``--after`` pages a
+``token_pos token term df dist``), ``qstring`` (the Lucene-classic
+query-string mini-language: ``+must -not field:term term^2 "a phrase"
+wild* fuzzy~``).  ``--after`` pages a
 bm25 search from the previous page's last served row.  ``--snippets``
 adds (pos, snippet) highlighting columns (bm25 mode only).
 

@@ -23,6 +23,8 @@ from .epochs import (
 )
 from .progress import ProgressEvent, report_progress
 from .hierarchy import Hierarchy
+from .qparser import ParsedQuery, parse_query
+from .trigram import regex_literals, trigrams
 
 __all__ = [
     "FieldSpec",
@@ -47,4 +49,8 @@ __all__ = [
     "build_epoch",
     "list_epochs",
     "load_index",
+    "ParsedQuery",
+    "parse_query",
+    "trigrams",
+    "regex_literals",
 ]

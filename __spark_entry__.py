@@ -837,6 +837,41 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).facet_counts(FACET_QUERY, by=FACET_BY)
 
 
+def q_collapse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing, BOTH physical paths in one gate: top-10 of the
+    FACET_QUERY match set keeping the best 1 (max_by aggregate path) and
+    best 2 (row_number window path) docs per source, tagged by mode."""
+    eng = _engine(spark, sf_dir)
+
+    def shape(df, mode):
+        return df.select(
+            F.lit(mode).alias("mode"),
+            "doc_id",
+            F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_x1e4"),
+            FACET_BY,
+        )
+
+    one = shape(eng.search_collapse(FACET_QUERY, by=FACET_BY, k=10), "agg1")
+    two = shape(
+        eng.search_collapse(FACET_QUERY, by=FACET_BY, k=10, per_group=2), "win2"
+    )
+    return one.unionAll(two)
+
+
+SIGNIFICANT_K = 20
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant-terms (JLH) over the FACET_QUERY foreground:
+    candidates-only re-analysis for fg_df, stored vocabulary for bg_df."""
+    eng = _engine(spark, sf_dir)
+    out = eng.significant_terms(FACET_QUERY, k=SIGNIFICANT_K)
+    return out.select(
+        "term", "fg_df", "bg_df",
+        F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_x1e4"),
+    )
+
+
 SNIPPET_TERMS = ["dup", "stream", "vector"]   # the ft_bm25_or query
 
 
@@ -1143,17 +1178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_deleted": q_bm25_deleted,
         "ft_search_after": q_search_after,
         "ft_min_match": q_min_match,
+        "ft_collapse_search": q_collapse_search,
+        "ft_significant_terms": q_significant_terms,
         "search_hybrid_rrf": q_hybrid_rrf,
         # -- dedup ----------------------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_minhash_lsh,
-        "dedup_simhash": q_simhash,
         "dedup_simhash_near": q_simhash_near,
         "dedup_components": q_dedup_components,
         "dedup_incremental": q_dedup_incremental,
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         # -- ANN ------------------------------------------------------------
-        "ann_cosine_topk": q_ann_cosine,
         "ann_ivf_pq_topk": q_ann_ivf_pq,
         "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
         "ann_ivf_pq_kmeans": q_ann_ivf_pq_kmeans,
@@ -1172,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "dedup_simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine,
         "events_windowed_stats": q_events_windowed,
         "ft_regex_search": q_regex_search,
         "ft_suggest": q_suggest,
@@ -1903,6 +1940,64 @@ FROM documents d JOIN cand USING (doc_id)
 GROUP BY 1 ORDER BY n_docs DESC, {FACET_BY}"""
 
 
+def _collapse_oracle() -> str:
+    """Twin of q_collapse_search: per-source row_number over the BM25
+    scores of the FACET_QUERY match set, keeping rn<=1 (mode agg1) and
+    rn<=2 (mode win2), each globally top-10."""
+    return f"""
+WITH {_TOK},
+qdf AS (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM tfv WHERE term = '{FACET_QUERY}'),
+sc AS (
+  SELECT m.doc_id,
+         ln(1 + ((SELECT n FROM stv) - (SELECT df FROM qdf) + 0.5) / ((SELECT df FROM qdf) + 0.5))
+         * m.tf * 2.2
+         / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv))) AS score
+  FROM tfv m JOIN dlv d USING (doc_id) WHERE m.term = '{FACET_QUERY}'),
+rn AS (
+  SELECT s.doc_id, s.score, doc.{FACET_BY} AS {FACET_BY},
+         row_number() OVER (PARTITION BY doc.{FACET_BY}
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM sc s JOIN documents doc USING (doc_id)),
+shaped AS (
+  SELECT 'agg1' AS mode, doc_id,
+         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4, {FACET_BY},
+         score
+  FROM rn WHERE rn <= 1 ORDER BY score DESC, doc_id LIMIT 10),
+shaped2 AS (
+  SELECT 'win2' AS mode, doc_id,
+         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4, {FACET_BY},
+         score
+  FROM rn WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10)
+SELECT mode, doc_id, score_x1e4, {FACET_BY} FROM shaped
+UNION ALL
+SELECT mode, doc_id, score_x1e4, {FACET_BY} FROM shaped2"""
+
+
+def _significant_terms_oracle() -> str:
+    """Twin of q_significant_terms: JLH over the FACET_QUERY foreground
+    (fg_df from re-tokenized matching docs, bg_df from corpus doc
+    frequencies), min_fg=3, fg_pct>bg_pct, top-{SIGNIFICANT_K}."""
+    return f"""
+WITH {_TOK},
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term = '{FACET_QUERY}'),
+nfg AS (SELECT count(*)::BIGINT AS n FROM cand),
+fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df
+       FROM tok JOIN cand USING (doc_id) GROUP BY 1),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY 1),
+sc AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         f.fg_df::DOUBLE / (SELECT n FROM nfg) AS fg_pct,
+         b.bg_df::DOUBLE / (SELECT n FROM stv) AS bg_pct
+  FROM fg f JOIN bg b USING (term)
+  WHERE f.fg_df >= 3)
+SELECT term, fg_df, bg_df,
+       CAST(floor((fg_pct - bg_pct) * (fg_pct / bg_pct) * 10000 + 0.5) AS BIGINT)
+         AS score_x1e4
+FROM sc WHERE fg_pct > bg_pct
+ORDER BY (fg_pct - bg_pct) * (fg_pct / bg_pct) DESC, term
+LIMIT {SIGNIFICANT_K}"""
+
+
 def _emb_pairs_oracle(
     threshold: float, lsh: bool, dim: int = 64, probe_hamming: int = 1
 ) -> str:
@@ -2314,6 +2409,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_near_search": _near_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
         "ft_facet_stats": _facet_stats_oracle(),
+        "ft_collapse_search": _collapse_oracle(),
+        "ft_significant_terms": _significant_terms_oracle(),
         # the parser maps 'dup +stream -vector' onto exactly the
         # single-term-scored / Must / MustNot oracle shape
         "ft_query_language": _bm25_oracle(

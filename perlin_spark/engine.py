@@ -1173,6 +1173,168 @@ class PerlinEngine:
         )
         return out.limit(k) if k is not None else out
 
+    def search_collapse(
+        self,
+        query: str | QuerySpec,
+        by: str,
+        k: int | None = 10,
+        per_group: int = 1,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(doc_id, score, by) — ES field collapsing / Lucene grouping:
+        rank the match set by BM25, keep only the best ``per_group`` docs
+        per value of the stored docs column ``by`` (best = highest score,
+        doc_id-ascending tie-break), return the global top-k of the
+        survivors.  Diversifies results: at most ``per_group`` hits per
+        source/site/repo.
+
+        Plan shape: one search job + a doc_id-keyed docs join, then —
+        for ``per_group=1`` — a ``max_by`` aggregation (map-side
+        combinable, no per-group sort; the 100-TB path: one shuffle keyed
+        by the collapse value); for ``per_group>1`` a per-group
+        ``row_number`` window (still keyed by ``by`` — partitions by
+        group value, never a global sort)."""
+        if by not in self.index.docs.columns:
+            raise KeyError(
+                f"no stored column {by!r} in the docs table "
+                f"({self.index.docs.columns})"
+            )
+        if per_group < 1:
+            raise ValueError("per_group must be >= 1")
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        joined = hits.join(self.index.docs.select("doc_id", by), "doc_id")
+        if per_group == 1:
+            # max over (score, -doc_id) == highest score, lowest doc_id
+            best = joined.groupBy(by).agg(
+                F.max(
+                    F.struct(
+                        F.col("score").alias("score"),
+                        (-F.col("doc_id")).alias("neg_id"),
+                    )
+                ).alias("best")
+            )
+            out = best.select(
+                (-F.col("best.neg_id")).cast("long").alias("doc_id"),
+                F.col("best.score").alias("score"),
+                by,
+            )
+        else:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
+            out = (
+                joined.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= per_group)
+                .select("doc_id", "score", by)
+            )
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    #: significant-terms floor — buckets below this foreground doc count
+    #: are noise (the ES `min_doc_count` default for significant_terms)
+    SIGNIFICANT_MIN_FG = 3
+
+    def significant_terms(
+        self,
+        query: str | QuerySpec,
+        k: int | None = 10,
+        min_fg: int = SIGNIFICANT_MIN_FG,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(term, fg_df, bg_df, score) — the ES significant-terms
+        aggregation: terms that are unusually frequent in the documents
+        MATCHING the query (foreground) relative to the whole corpus
+        (background), scored with JLH::
+
+            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+            fg_pct = fg_df / n_fg,  bg_pct = bg_df / N
+
+        keeping only terms with ``fg_df >= min_fg`` and
+        ``fg_pct > bg_pct``; score desc, term asc.
+
+        Cost shape: one search job for the match set, then re-analysis of
+        the MATCHING docs only (one Arrow batch pass — candidates-only,
+        the snippets discipline, never the corpus) aggregated to per-term
+        foreground doc counts; background counts come from the stored
+        vocabulary (no second corpus scan).  The foreground size rides a
+        1-row aggregate crossJoin so no scalar leaves the cluster."""
+        pl = pipeline or self.pipeline
+        spec = pl.text_spec
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        pairs = self._analyzed_pairs(hits.select("doc_id"), spec)
+        fg = pairs.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("fg_df")
+        )
+        n_fg = hits.agg(F.count(F.lit(1)).alias("n_fg"))
+        bg = self.index.vocabulary.filter(F.col("field") == spec.field).select(
+            "term", F.col("df").alias("bg_df")
+        )
+        n_docs = int(self.index.n_docs)
+        out = (
+            fg.filter(F.col("fg_df") >= F.lit(int(min_fg)))
+            .join(bg, "term")
+            .crossJoin(F.broadcast(n_fg))
+            .withColumn("fg_pct", F.col("fg_df") / F.col("n_fg"))
+            .withColumn("bg_pct", F.col("bg_df") / F.lit(float(n_docs)))
+            .filter(F.col("fg_pct") > F.col("bg_pct"))
+            .withColumn(
+                "score",
+                (F.col("fg_pct") - F.col("bg_pct"))
+                * (F.col("fg_pct") / F.col("bg_pct")),
+            )
+            .select("term", "fg_df", "bg_df", "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+        )
+        return out.limit(k) if k is not None else out
+
+    def _analyzed_pairs(self, doc_ids: DataFrame, spec: FieldSpec) -> DataFrame:
+        """DISTINCT (doc_id, term) pairs of the given docs re-analyzed
+        through ``spec`` — the candidates-only re-analysis primitive shared
+        by significant_terms (and the moral core of snippets): an Arrow
+        batch pass over exactly the joined rows, never the corpus."""
+        src = spec.source
+        joined = doc_ids.join(self.index.docs.select("doc_id", src), "doc_id")
+        field, tokenizer = spec.field, spec.tokenizer
+
+        def gen(batches):
+            import pandas as pd
+
+            from .analysis import apply_field_pipeline, tokenize
+
+            for pdf in batches:
+                if pdf.empty:
+                    yield pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64"),
+                         "term": pd.Series([], dtype="object")}
+                    )
+                    continue
+                pdf = pdf.reset_index(drop=True)
+                toks = tokenize(pdf[src], tokenizer)
+                frames = []
+                for fname, ts in apply_field_pipeline(toks, spec):
+                    if fname == field and len(ts):
+                        frames.append(
+                            pd.DataFrame(
+                                {"doc_id": pdf["doc_id"].iloc[
+                                    ts.index.get_level_values(0)
+                                ].values,
+                                 "term": ts.values}
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames).drop_duplicates()
+                else:
+                    yield pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64"),
+                         "term": pd.Series([], dtype="object")}
+                    )
+
+        return joined.mapInPandas(
+            gen, schema="doc_id long, term string"
+        ).distinct()
+
     #: snippet context half-width (tokens each side) — operator contract
     SNIPPET_WINDOW = 3
 

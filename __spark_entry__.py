@@ -860,6 +860,33 @@ def q_collapse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIGNIFICANT_K = 20
 
+#: registered saved-search set for the percolator gate (query 3 is a
+#: no-hit probe; query 4 is 4-term — the min_match=2 mode discriminates)
+PERC_QUERIES = [
+    (0, "hash join sort"),
+    (1, "vector stream"),
+    (2, "dup window merge"),
+    (3, "zzzqqq"),
+    (4, "scan filter batch spark"),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (Lucene/ES percolator): which registered queries
+    match each document — conjunctive mode AND min_match=2 mode in one
+    gate, tagged by a mode column."""
+    from perlin_spark.percolate import percolate
+
+    qs = spark.createDataFrame(PERC_QUERIES, "query_id long, query string")
+    docs = _docs(spark, sf_dir)
+    conj = percolate(qs, docs, DOC_SPEC).withColumn("mode", F.lit("all"))
+    min2 = percolate(qs, docs, DOC_SPEC, min_match=2).withColumn(
+        "mode", F.lit("min2")
+    )
+    return conj.unionAll(min2).select(
+        "mode", "doc_id", "query_id", "n_matched", "n_terms"
+    )
+
 
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant-terms (JLH) over the FACET_QUERY foreground:
@@ -1180,13 +1207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_min_match": q_min_match,
         "ft_collapse_search": q_collapse_search,
         "ft_significant_terms": q_significant_terms,
+        "ft_percolate": q_percolate,
         "search_hybrid_rrf": q_hybrid_rrf,
         # -- dedup ----------------------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash_near": q_simhash_near,
         "dedup_components": q_dedup_components,
-        "dedup_incremental": q_dedup_incremental,
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         # -- ANN ------------------------------------------------------------
         "ann_ivf_pq_topk": q_ann_ivf_pq,
@@ -1209,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
         "dedup_simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine,
+        "dedup_incremental": q_dedup_incremental,
         "events_windowed_stats": q_events_windowed,
         "ft_regex_search": q_regex_search,
         "ft_suggest": q_suggest,
@@ -1998,6 +2026,32 @@ ORDER BY (fg_pct - bg_pct) * (fg_pct / bg_pct) DESC, term
 LIMIT {SIGNIFICANT_K}"""
 
 
+def _percolate_oracle() -> str:
+    """Twin of q_percolate: distinct doc terms x the literal query-term
+    table, distinct-match counting per (doc, query), both modes."""
+    vals = ", ".join(
+        "({}, [{}])".format(
+            qid, ", ".join(f"'{t}'" for t in sorted(set(qs.lower().split())))
+        )
+        for qid, qs in PERC_QUERIES
+        if qs.strip()
+    ) or "(0, []::VARCHAR[])"
+    return f"""
+WITH {_TOK},
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+qt AS (SELECT * FROM (VALUES {vals}) AS v(query_id, terms)),
+qq AS (SELECT query_id, unnest(terms) AS term FROM qt),
+qs AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qq GROUP BY 1),
+m AS (
+  SELECT d.doc_id, q.query_id, count(*)::BIGINT AS n_matched
+  FROM dterms d JOIN qq q USING (term) GROUP BY 1, 2)
+SELECT 'all' AS mode, doc_id, query_id, n_matched, n_terms
+FROM m JOIN qs USING (query_id) WHERE n_matched = n_terms
+UNION ALL
+SELECT 'min2' AS mode, doc_id, query_id, n_matched, n_terms
+FROM m JOIN qs USING (query_id) WHERE n_matched >= 2"""
+
+
 def _emb_pairs_oracle(
     threshold: float, lsh: bool, dim: int = 64, probe_hamming: int = 1
 ) -> str:
@@ -2411,6 +2465,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_facet_stats": _facet_stats_oracle(),
         "ft_collapse_search": _collapse_oracle(),
         "ft_significant_terms": _significant_terms_oracle(),
+        "ft_percolate": _percolate_oracle(),
         # the parser maps 'dup +stream -vector' onto exactly the
         # single-term-scored / Must / MustNot oracle shape
         "ft_query_language": _bm25_oracle(

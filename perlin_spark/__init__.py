@@ -23,6 +23,7 @@ from .epochs import (
 )
 from .progress import ProgressEvent, report_progress
 from .hierarchy import Hierarchy
+from .percolate import analyzed_term_pairs, percolate
 from .qparser import ParsedQuery, parse_query
 from .trigram import regex_literals, trigrams
 
@@ -51,6 +52,8 @@ __all__ = [
     "load_index",
     "ParsedQuery",
     "parse_query",
+    "percolate",
+    "analyzed_term_pairs",
     "trigrams",
     "regex_literals",
 ]

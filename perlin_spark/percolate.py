@@ -1,0 +1,129 @@
+"""Reverse search — the Lucene/Elasticsearch *percolator*.
+
+Forward search asks "which docs match this query"; percolation asks
+"which REGISTERED QUERIES match this doc" — the alerting / saved-search
+/ routing primitive (a user saves `hash join sort`, every new document
+that matches fires their alert).
+
+The reference has no percolator; this is a beyond-reference operator in
+the spirit of its query machinery (``/root/reference/src/query/mod.rs``
+term-set candidacy) run inside-out.  Spark-first shape:
+
+* queries AND docs are analyzed by the SAME pipeline code the index
+  build runs (``analysis.analyze_pandas`` — one semantic source, the
+  query_pipeline! parity rule, ``/root/reference/src/lib.rs`` pipeline
+  reuse), each as one Arrow batch pass;
+* matching is ONE term equi-join + a distinct-term count per
+  (doc, query) — the minimum_should_match candidacy shape — so the
+  whole operator is two narrow analysis passes and one shuffle keyed by
+  term;
+* the registered-query side is broadcast by default (saved-search sets
+  are tiny next to a document stream); pass ``broadcast_queries=False``
+  for query sets past executor memory and the same plan runs as a
+  shuffle join.
+
+At 100 TB the document side is the stream: percolation cost is linear
+in NEW docs only (use :func:`percolate` inside ``foreachBatch`` — each
+micro-batch analyzes and joins just its own rows; see
+``tests/test_streaming.py::test_percolate_stream``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .analysis import FieldSpec
+
+
+def analyzed_term_pairs(
+    rows: DataFrame, spec: FieldSpec, id_col: str = "doc_id"
+) -> DataFrame:
+    """DISTINCT ``(id_col, term)`` pairs of ``rows[spec.source]`` run
+    through the build analyzer (tokenizer + filters of ``spec``) — one
+    Arrow batch pass, no collect.  The set-membership primitive shared by
+    percolation's both sides."""
+    src = spec.source
+
+    def gen(batches):
+        import pandas as pd
+
+        from .analysis import analyze_pandas
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {id_col: pd.Series([], dtype="int64"),
+                     "term": pd.Series([], dtype="object")}
+                )
+                continue
+            pdf = pdf.reset_index(drop=True)
+            tf = analyze_pandas(
+                pdf[[id_col, src]].rename(columns={id_col: "doc_id"}),
+                [spec],
+                doc_id_col="doc_id",
+            )
+            tf = tf[tf["field"] == spec.field]
+            yield pd.DataFrame(
+                {id_col: tf["doc_id"].astype("int64"), "term": tf["term"]}
+            ).drop_duplicates()
+
+    return rows.select(id_col, src).mapInPandas(
+        gen, schema=f"{id_col} long, term string"
+    ).distinct()
+
+
+def percolate(
+    queries: DataFrame,
+    docs: DataFrame,
+    spec: FieldSpec,
+    min_match: int | None = None,
+    broadcast_queries: bool = True,
+    id_col: str = "doc_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """(doc_id, query_id, n_matched, n_terms) — every registered query
+    that matches each document.
+
+    ``queries`` is ``(query_id long, query string)``; ``docs`` carries
+    ``id_col`` + ``spec.source``.  Both sides are analyzed by the SAME
+    pipeline spec, then matched on distinct terms:
+
+    * ``min_match=None`` (default) — conjunctive: the doc must contain
+      EVERY analyzed term of the query (the ES percolator's match-query
+      AND semantics);
+    * ``min_match=m`` — the doc must contain at least ``m`` DISTINCT
+      query terms (``m=1`` is pure OR).
+
+    A query whose text analyzes to zero terms matches nothing (it has no
+    term to witness; ES's match-all percolation is a different register —
+    add a catch-all term upstream if that's wanted).  Deterministic
+    ordering: doc_id, query_id."""
+    if min_match is not None and min_match < 1:
+        raise ValueError("min_match must be >= 1 (or None for ALL terms)")
+    q_pairs = analyzed_term_pairs(
+        queries.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col(query_col).alias(spec.source),
+        ),
+        spec,
+        id_col="query_id",
+    )
+    q_sizes = q_pairs.groupBy("query_id").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    d_pairs = analyzed_term_pairs(docs, spec, id_col=id_col)
+    q_side = F.broadcast(q_pairs) if broadcast_queries else q_pairs
+    matched = (
+        d_pairs.join(q_side, "term")
+        .groupBy(id_col, "query_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+    )
+    sz = F.broadcast(q_sizes) if broadcast_queries else q_sizes
+    out = matched.join(sz, "query_id")
+    if min_match is None:
+        out = out.filter(F.col("n_matched") == F.col("n_terms"))
+    else:
+        out = out.filter(F.col("n_matched") >= F.lit(int(min_match)))
+    return out.select(id_col, "query_id", "n_matched", "n_terms").orderBy(
+        id_col, "query_id"
+    )

@@ -585,3 +585,39 @@ def test_compact_fold_deletes(spark, tmp_path):
     assert {r["doc_id"] for r in idx2.docs.select("doc_id").collect()} == {
         r[0] for r in rows if r[0] not in victims + [1]
     }
+
+
+def test_load_index_upto_epoch_time_travel(spark, tmp_path):
+    """Snapshot reads: upto_epoch=N serves exactly the corpus as of epoch
+    N (Iceberg-style time travel over the epoch log); stats (n_docs,
+    avgdl -> scores) roll back with it."""
+    root = str(tmp_path / "idx_tt")
+    build_epoch(spark, golden_corpus(spark), reference_specs(), root,
+                n_shards=2, buckets=4)
+    extra = spark.createDataFrame(
+        GOLDEN_EXTRA_DOCS, "doc_id long, title string, text string"
+    )
+    build_epoch(spark, extra, reference_specs(), root, n_shards=2, buckets=4)
+
+    pl = QueryPipeline(
+        text_spec=FieldSpec(field="text", source="text", stem=True,
+                            number_field="number"))
+    asof0 = PerlinEngine(load_index(spark, root, upto_epoch=0), pl)
+    head = PerlinEngine(load_index(spark, root), pl)
+
+    base_ids = {r["doc_id"] for r in golden_corpus(spark).select("doc_id").collect()}
+    extra_ids = {r[0] for r in GOLDEN_EXTRA_DOCS}
+    assert asof0.index.n_docs == len(base_ids)
+    assert head.index.n_docs == len(base_ids) + len(extra_ids)
+
+    # epoch-1 docs are invisible at upto_epoch=0
+    probe = "deimos"
+    head_hits = {r["doc_id"] for r in head.search(probe, k=100).collect()}
+    asof_hits = {r["doc_id"] for r in asof0.search(probe, k=100).collect()}
+    assert asof_hits == head_hits - extra_ids
+    assert asof_hits <= base_ids
+
+    # the snapshot equals a from-scratch build of the epoch-0 corpus
+    single = build_index(spark, golden_corpus(spark), reference_specs(),
+                         n_shards=2)
+    assert _postings_set(asof0.index) == _postings_set(single)

@@ -371,6 +371,34 @@ def main() -> None:
             times["text_decontaminate"], time.perf_counter() - t0
         )
 
+    # r5 additions with their own cost shapes: the percolator (two Arrow
+    # analyzer passes + a broadcast term join over the whole corpus) and
+    # significant-terms (candidates-only re-analysis + vocabulary join);
+    # collapse/merge_roots are covered cost-wise by the facet/compaction
+    # sections and stay untimed
+    from perlin_spark.percolate import percolate as _percolate
+
+    perc_qs = spark.createDataFrame(
+        [(0, "hash join sort"), (1, "vector stream"), (2, "dup window merge"),
+         (3, "zzzqqq"), (4, "scan filter batch spark")],
+        "query_id long, query string",
+    )
+    _percolate(perc_qs, docs, DOC_SPEC).count()  # warm
+    times["ft_percolate"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _percolate(perc_qs, docs, DOC_SPEC).count()
+        times["ft_percolate"] = min(times["ft_percolate"], time.perf_counter() - t0)
+
+    eng.significant_terms("scan", k=20).collect()  # warm
+    times["ft_significant_terms"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.significant_terms("scan", k=20).collect()
+        times["ft_significant_terms"] = min(
+            times["ft_significant_terms"], time.perf_counter() - t0
+        )
+
     total = time.perf_counter() - t_total0 - sleep_total
     out = {
         "metric": "index-build docs/sec + BM25 query latency (documents + synth code corpus)",

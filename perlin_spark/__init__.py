@@ -19,6 +19,7 @@ from .epochs import (
     delete_docs,
     list_epochs,
     load_index,
+    merge_roots,
     refresh_deletes,
 )
 from .progress import ProgressEvent, report_progress
@@ -50,6 +51,7 @@ __all__ = [
     "build_epoch",
     "list_epochs",
     "load_index",
+    "merge_roots",
     "ParsedQuery",
     "parse_query",
     "percolate",

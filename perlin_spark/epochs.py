@@ -627,45 +627,85 @@ def add_positions(
 
 def load_index(
     spark: SparkSession,
-    root: str,
+    root: str | list[str],
     specs: list[FieldSpec] | None = None,
     upto_epoch: int | None = None,
 ) -> IndexData:
-    """Union all committed epochs (≤ upto_epoch) into one queryable index."""
-    epochs = list_epochs(root)
-    if upto_epoch is not None:
-        epochs = [e for e in epochs if e <= upto_epoch]
-    if not epochs:
-        raise FileNotFoundError(f"no committed epochs under {root}")
+    """Union all committed epochs (≤ upto_epoch) into one queryable index.
+
+    ``root`` may be a LIST of index roots (ES multi-index / federated
+    search): every root's epochs are unioned into one logical index with
+    global df/idf/avgdl — no data moves, the per-root at-rest layouts
+    keep serving.  Requirements (checked loudly): every epoch was built
+    with the same bucket modulus and k1/b (query-time bucket pruning and
+    scoring params are layout-wide), and doc-id ranges are disjoint
+    across roots (within a root ``build_epoch`` already enforces this).
+    For a physical single-root consolidation use :func:`merge_roots`."""
+    roots = [root] if isinstance(root, str) else list(root)
+    pairs: list[tuple[str, int]] = []
+    for r in roots:
+        es = list_epochs(r)
+        if upto_epoch is not None:
+            es = [e for e in es if e <= upto_epoch]
+        pairs.extend((r, e) for e in es)
+    if not pairs:
+        raise FileNotFoundError(f"no committed epochs under {roots}")
+    manifests = {(r, e): _read_manifest(_epoch_dir(r, e)) for r, e in pairs}
+    if len(roots) > 1:
+        base = manifests[pairs[0]]["params"]
+        for (r, e), m in manifests.items():
+            for key in ("buckets", "k1", "b"):
+                if m["params"][key] != base[key]:
+                    raise ValueError(
+                        f"{r} epoch {e} was built with {key}="
+                        f"{m['params'][key]} != {base[key]}; multi-root "
+                        "load requires a uniform layout"
+                    )
+        ranges = sorted(
+            (int(m["params"]["min_doc_id"]), int(m["max_doc_id"]), r, e)
+            for (r, e), m in manifests.items()
+            if not m.get("field_only") and int(m["n_docs"]) > 0
+        )
+        for (lo1, hi1, r1, e1), (lo2, hi2, r2, e2) in zip(ranges, ranges[1:]):
+            if lo2 <= hi1:
+                raise ValueError(
+                    f"doc-id ranges overlap across roots: {r1} epoch {e1} "
+                    f"[{lo1}, {hi1}] vs {r2} epoch {e2} [{lo2}, {hi2}]; "
+                    "multi-root indexes need globally disjoint doc ids "
+                    "(build shards with disjoint id ranges, or reassign)"
+                )
 
     merged = None
     docs = None
     doc_lens = None
     vocab_source = None
     n_docs = 0
-    manifest0 = _read_manifest(_epoch_dir(root, epochs[0]))
+    manifest0 = manifests[pairs[0]]
     if specs is None:
         # union of every epoch's specs — field-only epochs (add_field)
         # contribute the fields they added
         seen_fields: set[str] = set()
         specs = []
-        for e in epochs:
-            for s in _read_manifest(_epoch_dir(root, e)).get("specs", []):
+        for r, e in pairs:
+            for s in manifests[(r, e)].get("specs", []):
                 if s["field"] not in seen_fields:
                     seen_fields.add(s["field"])
                     specs.append(FieldSpec(**{k: tuple(v) if k == "stopwords" else v
                                               for k, v in s.items()}))
-    for e in epochs:
-        edir = _epoch_dir(root, e)
-        m = _read_manifest(edir)
+    # gi (the global epoch ordinal) replaces the raw epoch id in the
+    # storage rows: across roots the raw ids repeat (every root has an
+    # epoch 0) and the scorer's blob identity key includes the epoch
+    for gi, (r, e) in enumerate(pairs):
+        edir = _epoch_dir(r, e)
+        m = manifests[(r, e)]
         n_docs += int(m["n_docs"])
         # `bucket` is kept: it is the partition column of the postings dirs,
         # and the query side prunes scans to the query terms' buckets
         part = spark.read.parquet(os.path.join(edir, "postings")).withColumn(
-            "epoch", F.lit(e)
+            "epoch", F.lit(gi)
         )
         dl = spark.read.parquet(os.path.join(edir, "doc_lens")).withColumn(
-            "epoch", F.lit(e)
+            "epoch", F.lit(gi)
         )
         vs = spark.read.parquet(os.path.join(edir, "vocabulary"))
         merged = part if merged is None else merged.unionByName(part)
@@ -691,27 +731,35 @@ def load_index(
     # positional sidecar: attach only when EVERY epoch carries it (a
     # partial sidecar would silently miss phrases in uncovered epochs —
     # backfill with add_positions first)
-    pos_dirs = [os.path.join(_epoch_dir(root, e), "positions") for e in epochs]
+    pos_dirs = [os.path.join(_epoch_dir(r, e), "positions") for r, e in pairs]
     if all(
-        _read_manifest(_epoch_dir(root, e)).get("positions") for e in epochs
+        manifests[(r, e)].get("positions") for r, e in pairs
     ) and all(os.path.isdir(p) for p in pos_dirs):
         pos = None
         for p in pos_dirs:
             df = spark.read.parquet(p)
             pos = df if pos is None else pos.unionByName(df)
         idx.positions = pos
-    sym_dirs = [os.path.join(_epoch_dir(root, e), "symspell") for e in epochs]
+    sym_dirs = [os.path.join(_epoch_dir(r, e), "symspell") for r, e in pairs]
     if all(
-        _read_manifest(_epoch_dir(root, e)).get("symspell") for e in epochs
+        manifests[(r, e)].get("symspell") for r, e in pairs
     ) and all(os.path.isdir(p) for p in sym_dirs):
         sym = None
         for p in sym_dirs:
             df = spark.read.parquet(p)
             sym = df if sym is None else sym.unionByName(df)
         idx._symspell = sym
-    ddir = os.path.join(root, DELETES_DIR)
-    if os.path.isdir(ddir):
-        idx.set_deleted(spark.read.parquet(ddir).select("doc_id").distinct())
+    ddirs = [
+        os.path.join(r, DELETES_DIR)
+        for r in roots
+        if os.path.isdir(os.path.join(r, DELETES_DIR))
+    ]
+    if ddirs:
+        dels = None
+        for d in ddirs:
+            df = spark.read.parquet(d).select("doc_id")
+            dels = df if dels is None else dels.unionByName(df)
+        idx.set_deleted(dels.distinct())
     return idx
 
 
@@ -1116,3 +1164,111 @@ def compact_epochs(
         for e in epochs:
             shutil.rmtree(_epoch_dir(root, e), ignore_errors=True)
     return new_epoch
+
+
+def merge_roots(
+    spark: SparkSession,
+    roots: list[str],
+    out_root: str,
+    *,
+    compact: bool = True,
+    num_partitions: int | None = None,
+) -> int:
+    """Lucene ``addIndexes``: physically merge independently built index
+    roots into one — the build-shards-separately-then-merge pattern (per
+    region, per day, per source repo) that keeps serving fan-in O(1).
+
+    Two steps: (1) ADOPT every committed source epoch into ``out_root``,
+    renumbered in ascending min_doc_id order (the splice invariant), each
+    manifest stamped with ``adopted_from`` lineage; (2) by default, one
+    :func:`compact_epochs` pass byte-splices them into a single epoch.
+    Source tombstones union into ``out_root/_deletes`` (and survive the
+    compaction unfolded, same as within-root compaction).
+
+    Validations (loud, before anything is written): at least two roots,
+    ``out_root`` not among the sources and holding no epochs, uniform
+    buckets/k1/b across every epoch, globally disjoint doc-id ranges, and
+    no field-only epochs (an ``add_field`` epoch references its own
+    root's base docs — compact the source root first to absorb it).
+
+    The adoption step copies epoch directories (driver-side ``copytree``
+    here; on an object store the same step is a server-side copy /
+    distcp — renumbering and validation are what this function owns);
+    the compaction is fully distributed.  Read-time federation without
+    any copy is ``load_index(spark, [rootA, rootB])``."""
+    import shutil
+
+    if isinstance(roots, str) or len(list(roots)) < 2:
+        raise ValueError("merge_roots needs a list of at least two roots")
+    norm_out = os.path.abspath(out_root)
+    if any(os.path.abspath(r) == norm_out for r in roots):
+        raise ValueError("out_root must not be one of the source roots")
+    if list_epochs(out_root):
+        raise ValueError(f"{out_root} already holds committed epochs")
+
+    entries: list[tuple[str, int, dict]] = []
+    for r in roots:
+        es = list_epochs(r)
+        if not es:
+            raise FileNotFoundError(f"no committed epochs under {r}")
+        for e in es:
+            m = _read_manifest(_epoch_dir(r, e))
+            if m.get("field_only"):
+                raise ValueError(
+                    f"{r} epoch {e} is a field-only (add_field) epoch; "
+                    "compact_epochs the source root first so its fields "
+                    "are absorbed into a self-contained epoch"
+                )
+            entries.append((r, e, m))
+    base = entries[0][2]["params"]
+    for r, e, m in entries[1:]:
+        for key in ("buckets", "k1", "b"):
+            if m["params"][key] != base[key]:
+                raise ValueError(
+                    f"{r} epoch {e} was built with {key}="
+                    f"{m['params'][key]} != {base[key]}; merging requires "
+                    "a uniform layout"
+                )
+    entries.sort(key=lambda t: int(t[2]["params"]["min_doc_id"]))
+    prev_hi = -1
+    for r, e, m in entries:
+        if int(m["n_docs"]) == 0:
+            continue
+        lo, hi = int(m["params"]["min_doc_id"]), int(m["max_doc_id"])
+        if lo <= prev_hi:
+            raise ValueError(
+                f"doc-id ranges overlap: {r} epoch {e} starts at {lo}, "
+                f"not above the previous epoch's max {prev_hi}; merged "
+                "roots need globally disjoint doc ids"
+            )
+        prev_hi = hi
+
+    os.makedirs(out_root, exist_ok=True)
+    for new_e, (r, e, m) in enumerate(entries):
+        dst = _epoch_dir(out_root, new_e)
+        tmp = dst + ".adopting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(_epoch_dir(r, e), tmp)
+        m2 = _read_manifest(tmp)
+        m2["epoch"] = new_e
+        m2["adopted_from"] = {"root": r, "epoch": e}
+        _write_manifest(tmp, m2)
+        os.rename(tmp, dst)
+
+    src_dels = [
+        os.path.join(r, DELETES_DIR)
+        for r in roots
+        if os.path.isdir(os.path.join(r, DELETES_DIR))
+    ]
+    if src_dels:
+        dels = None
+        for d in src_dels:
+            df = spark.read.parquet(d).select("doc_id")
+            dels = df if dels is None else dels.unionByName(df)
+        dels.distinct().write.mode("overwrite").parquet(
+            os.path.join(out_root, DELETES_DIR)
+        )
+
+    if compact and len(entries) > 1:
+        return int(compact_epochs(spark, out_root, num_partitions=num_partitions))
+    return len(entries) - 1

@@ -860,6 +860,23 @@ def q_collapse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIGNIFICANT_K = 20
 
+TV_DOC_IDS = [3, 7, 11, 19]   # pinned for the term-vectors oracle
+HIST_INTERVAL = 50            # n_chars bucket width for the histogram gate
+
+
+def q_facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation: FACET_QUERY match set bucketed by
+    floor(n_chars/50)*50."""
+    return _engine(spark, sf_dir).facet_histogram(
+        FACET_QUERY, value="n_chars", interval=HIST_INTERVAL
+    )
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term-vectors: per-doc tf for four pinned docs, re-analyzed
+    candidates-only (never a postings decode)."""
+    return _engine(spark, sf_dir).term_vectors(TV_DOC_IDS)
+
 #: registered saved-search set for the percolator gate (query 3 is a
 #: no-hit probe; query 4 is 4-term — the min_match=2 mode discriminates)
 PERC_QUERIES = [
@@ -1237,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine,
         "dedup_incremental": q_dedup_incremental,
+        "ft_facet_histogram": q_facet_histogram,
+        "ft_term_vectors": q_term_vectors,
         "events_windowed_stats": q_events_windowed,
         "ft_regex_search": q_regex_search,
         "ft_suggest": q_suggest,
@@ -2026,6 +2045,26 @@ ORDER BY (fg_pct - bg_pct) * (fg_pct / bg_pct) DESC, term
 LIMIT {SIGNIFICANT_K}"""
 
 
+def _facet_histogram_oracle() -> str:
+    """Twin of q_facet_histogram."""
+    return f"""
+WITH {_TOK},
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term = '{FACET_QUERY}')
+SELECT (floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN cand USING (doc_id)
+GROUP BY 1 ORDER BY bucket"""
+
+
+def _term_vectors_oracle() -> str:
+    """Twin of q_term_vectors: per-doc tf of the pinned ids."""
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH {_TOK}
+SELECT doc_id, term, tf FROM tfv
+WHERE doc_id IN ({ids}) ORDER BY doc_id, term"""
+
+
 def _percolate_oracle() -> str:
     """Twin of q_percolate: distinct doc terms x the literal query-term
     table, distinct-match counting per (doc, query), both modes."""
@@ -2466,6 +2505,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_collapse_search": _collapse_oracle(),
         "ft_significant_terms": _significant_terms_oracle(),
         "ft_percolate": _percolate_oracle(),
+        "ft_facet_histogram": _facet_histogram_oracle(),
+        "ft_term_vectors": _term_vectors_oracle(),
         # the parser maps 'dup +stream -vector' onto exactly the
         # single-term-scored / Must / MustNot oracle shape
         "ft_query_language": _bm25_oracle(

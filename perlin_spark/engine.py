@@ -1173,6 +1173,82 @@ class PerlinEngine:
         )
         return out.limit(k) if k is not None else out
 
+    def facet_histogram(
+        self,
+        query: str | QuerySpec,
+        value: str,
+        interval: int,
+        filters=(),
+        k: int | None = None,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(bucket, n_docs) — the ES histogram aggregation: matching docs
+        bucketed by ``floor(value / interval) * interval`` over a stored
+        numeric column, bucket-ascending.  Same plan as
+        :meth:`facet_counts` — one search job + a two-column docs join +
+        one aggregation keyed by the bucket (map-side combinable)."""
+        if value not in self.index.docs.columns:
+            raise KeyError(
+                f"no stored column {value!r} in the docs table "
+                f"({self.index.docs.columns})"
+            )
+        if interval <= 0:
+            raise ValueError("interval must be > 0")
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        bucket = (
+            F.floor(F.col(value) / F.lit(int(interval))) * F.lit(int(interval))
+        ).cast("long")
+        out = (
+            hits.join(self.index.docs.select("doc_id", value), "doc_id")
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.asc("bucket"))
+        )
+        return out.limit(k) if k is not None else out
+
+    def term_vectors(self, doc_ids, field: str | None = None) -> DataFrame:
+        """(doc_id, term, tf) — the ES term-vectors API: per-document
+        term frequencies for the given doc id(s), re-derived by running
+        the build analyzer over exactly those docs (one Arrow batch pass
+        over the id-pruned docs join — the forward view is never
+        materialized corpus-wide, and the inverted index is never
+        decoded).  Ordering: doc_id, term."""
+        if isinstance(doc_ids, int):
+            doc_ids = [doc_ids]
+        spec = self.pipeline.text_spec
+        field = field or spec.field
+        src = spec.source
+        ids_df = self.index.spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        )
+        joined = ids_df.join(self.index.docs.select("doc_id", src), "doc_id")
+        spec_ref = spec
+
+        def gen(batches):
+            import pandas as pd
+
+            from .analysis import analyze_pandas
+
+            for pdf in batches:
+                if pdf.empty:
+                    yield pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64"),
+                         "field": pd.Series([], dtype="object"),
+                         "term": pd.Series([], dtype="object"),
+                         "tf": pd.Series([], dtype="int64")}
+                    )
+                    continue
+                yield analyze_pandas(pdf.reset_index(drop=True), [spec_ref])
+
+        out = joined.mapInPandas(
+            gen, schema="doc_id long, field string, term string, tf long"
+        )
+        return (
+            out.filter(F.col("field") == field)
+            .select("doc_id", "term", "tf")
+            .orderBy("doc_id", "term")
+        )
+
     def search_collapse(
         self,
         query: str | QuerySpec,

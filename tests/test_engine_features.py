@@ -1121,3 +1121,34 @@ def test_significant_terms_jlh(collapse_engine):
     # min_fg floor drops low-support buckets
     only_hi = collapse_engine.significant_terms("gamma", k=10, min_fg=2).collect()
     assert all(r["fg_df"] >= 2 for r in only_hi)
+
+
+def test_facet_histogram(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", 5), (1, "alpha", 12), (2, "alpha beta", 19),
+         (3, "gamma", 25), (4, "alpha gamma", 31)],
+        "doc_id long, text string, stars long",
+    )
+    spec = FieldSpec(field="text", source="text")
+    pl = QueryPipeline(text_spec=spec, text_combinator="any")
+    eng = PerlinEngine.build(spark, docs, [spec], pipeline=pl, n_shards=2)
+    rows = [(r["bucket"], r["n_docs"])
+            for r in eng.facet_histogram("alpha", value="stars", interval=10).collect()]
+    assert rows == [(0, 1), (10, 2), (30, 1)]   # doc 3 (gamma) absent
+    with pytest.raises(KeyError, match="no stored column"):
+        eng.facet_histogram("alpha", value="nope", interval=10)
+    with pytest.raises(ValueError, match="interval"):
+        eng.facet_histogram("alpha", value="stars", interval=0)
+
+
+def test_term_vectors(collapse_engine):
+    """ES termvectors: per-doc tf via candidates-only re-analysis; must
+    equal the postings the index holds for those docs."""
+    rows = [(r["doc_id"], r["term"], r["tf"])
+            for r in collapse_engine.term_vectors([0, 3]).collect()]
+    assert rows == [
+        (0, "alpha", 1), (0, "beta", 1), (0, "gamma", 1),
+        (3, "alpha", 1), (3, "beta", 2),
+    ]
+    # unknown doc id -> empty, never raises
+    assert collapse_engine.term_vectors(999).count() == 0

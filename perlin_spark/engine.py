@@ -1298,14 +1298,29 @@ class PerlinEngine:
         else:
             from pyspark.sql.window import Window
 
-            w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
+            # salted two-phase top-P: a low-cardinality collapse key (lang,
+            # source, ...) would make the naive per-group window sort one
+            # huge partition per value.  Phase 1 takes top-P within
+            # (group, salt) — 32-way parallel per group; phase 2's window
+            # then sees <= 32*P rows per group.  Exact: every row of a
+            # group's true top-P is in its salt's top-P.
+            salt = F.pmod(F.hash("doc_id"), F.lit(self.COLLAPSE_SALTS))
+            order = (F.desc("score"), F.asc("doc_id"))
+            w1 = Window.partitionBy(by, "salt").orderBy(*order)
+            w2 = Window.partitionBy(by).orderBy(*order)
             out = (
-                joined.withColumn("rn", F.row_number().over(w))
+                joined.withColumn("salt", salt)
+                .withColumn("rn", F.row_number().over(w1))
+                .filter(F.col("rn") <= per_group)
+                .withColumn("rn", F.row_number().over(w2))
                 .filter(F.col("rn") <= per_group)
                 .select("doc_id", "score", by)
             )
         out = out.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
+
+    #: collapse phase-1 fan-out per group (the skew dial for per_group>1)
+    COLLAPSE_SALTS = 32
 
     #: significant-terms floor — buckets below this foreground doc count
     #: are noise (the ES `min_doc_count` default for significant_terms)

@@ -1073,6 +1073,60 @@ def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).search_sorted("hash join", by="n_chars", k=10)
 
 
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score (field_value_factor): BM25 of the conjunctive
+    match set multiplied by ln(1 + n_chars) — relevance blended with a
+    stored popularity/length signal, one docs join + TakeOrdered."""
+    out = _engine(spark, sf_dir).search_function_score(
+        "hash join", field="n_chars", k=10,
+        factor=1.0, modifier="log1p", boost_mode="multiply",
+    )
+    return _score_x1e4(out)
+
+
+RESCORE_WINDOW = 30
+
+
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore window: top-30 of conjunctive 'hash join' re-scored by
+    conjunctive 'sort merge' at weight 2 — the second query runs as the
+    same single-stage scorer with the window ids as an inclusion filter
+    (the tombstone machinery's twin), so out-of-window docs cost nothing."""
+    out = _engine(spark, sf_dir).search_rescore(
+        "hash join", "sort merge", k=10, window=RESCORE_WINDOW,
+        query_weight=1.0, rescore_weight=2.0,
+    )
+    return _score_x1e4(out)
+
+
+def q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles sub-aggregation per facet bucket (the ES
+    percentiles agg with percentile_cont interpolation semantics)."""
+    eng = _engine(spark, sf_dir)
+    out = eng.facet_percentiles(
+        FACET_QUERY, by=FACET_BY, value="n_chars", percentiles=(0.5, 0.95)
+    )
+    return out.select(
+        FACET_BY,
+        "n_docs",
+        F.floor(F.col("p50_value") * 10000 + F.lit(0.5)).cast("long").alias("p50_x1e4"),
+        F.floor(F.col("p95_value") * 10000 + F.lit(0.5)).cast("long").alias("p95_x1e4"),
+    )
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keyword extraction over the committed index:
+    idf broadcast onto compressed postings, one Arrow decode pass, per-doc
+    row_number top-3 (score desc, term asc)."""
+    out = _engine(spark, sf_dir).keywords(k_per_doc=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_x1e4"),
+    )
+
+
 PAGE_K = 5
 
 
@@ -1214,7 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fielded_bm25": q_fielded_bm25,
         # -- search features ------------------------------------------------
         "ft_fuzzy_search": q_fuzzy_search,
-        "ft_wildcard_search": q_wildcard_search,
+        "ft_function_score": q_function_score,
         "ft_phrase_search": q_phrase_search,
         "ft_substring_search": q_substring_search,
         "ft_more_like_this": q_more_like_this,
@@ -1234,7 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         # -- ANN ------------------------------------------------------------
         "ann_ivf_pq_topk": q_ann_ivf_pq,
-        "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
+        "ft_rescore": q_rescore,
         "ann_ivf_pq_kmeans": q_ann_ivf_pq_kmeans,
         # -- pretraining text ops -------------------------------------------
         "text_quality": q_text_quality,
@@ -1251,6 +1305,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_wildcard_search": q_wildcard_search,
+        "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
+        "ft_facet_percentiles": q_facet_percentiles,
+        "text_keywords": q_text_keywords,
         "dedup_simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine,
         "dedup_incremental": q_dedup_incremental,
@@ -2262,6 +2320,76 @@ sc AS (
   GROUP BY 1)
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_function_score": f"""
+WITH {_TOK},
+qt AS (SELECT unnest(['hash', 'join']) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt USING (term) GROUP BY 1),
+cand AS (SELECT doc_id FROM tfv JOIN qt USING (term) GROUP BY doc_id
+         HAVING count(DISTINCT term) = 2),
+sc AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY 1)
+SELECT s.doc_id,
+       CAST(floor(s.score * ln(1 + d.n_chars) * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc s JOIN documents d USING (doc_id)
+ORDER BY s.score * ln(1 + d.n_chars) DESC, s.doc_id LIMIT 10""",
+        "ft_rescore": f"""
+WITH {_TOK},
+qt1 AS (SELECT unnest(['hash', 'join']) AS term),
+qdf1 AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt1 USING (term) GROUP BY 1),
+cand1 AS (SELECT doc_id FROM tfv JOIN qt1 USING (term) GROUP BY doc_id
+          HAVING count(DISTINCT term) = 2),
+sc1 AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf1 q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand1)
+  GROUP BY 1),
+win AS (SELECT doc_id, score FROM sc1 ORDER BY score DESC, doc_id LIMIT {RESCORE_WINDOW}),
+qt2 AS (SELECT unnest(['sort', 'merge']) AS term),
+qdf2 AS (SELECT term, count(*)::BIGINT AS df FROM tfv JOIN qt2 USING (term) GROUP BY 1),
+cand2 AS (SELECT doc_id FROM tfv JOIN qt2 USING (term)
+          WHERE doc_id IN (SELECT doc_id FROM win)
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+sc2 AS (
+  SELECT m.doc_id,
+         sum(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5))
+             * m.tf * 2.2
+             / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv)))) AS score
+  FROM tfv m JOIN qdf2 q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand2)
+  GROUP BY 1)
+SELECT w.doc_id,
+       CAST(floor((1.0 * w.score + 2.0 * coalesce(s.score, 0)) * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM win w LEFT JOIN sc2 s USING (doc_id)
+ORDER BY (1.0 * w.score + 2.0 * coalesce(s.score, 0)) DESC, w.doc_id LIMIT 10""",
+        "ft_facet_percentiles": f"""
+WITH {_TOK},
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term = '{FACET_QUERY}')
+SELECT d.{FACET_BY} AS {FACET_BY}, count(*)::BIGINT AS n_docs,
+       CAST(floor(quantile_cont(d.n_chars, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_x1e4,
+       CAST(floor(quantile_cont(d.n_chars, 0.95) * 10000 + 0.5) AS BIGINT) AS p95_x1e4
+FROM documents d JOIN cand USING (doc_id)
+GROUP BY 1 ORDER BY n_docs DESC, {FACET_BY}""",
+        "text_keywords": f"""
+WITH {_TOK},
+idf AS (SELECT term, ln(1 + ((SELECT n FROM stv) - count(DISTINCT doc_id) + 0.5)
+                            / (count(DISTINCT doc_id) + 0.5)) AS idf
+        FROM tok GROUP BY term),
+sc AS (SELECT f.doc_id, f.term, f.tf, f.tf * i.idf AS score,
+              row_number() OVER (PARTITION BY f.doc_id
+                                 ORDER BY f.tf * i.idf DESC, f.term) AS rn
+       FROM tfv f JOIN idf i USING (term))
+SELECT doc_id, term, tf,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc WHERE rn <= 3""",
         "ft_bm25_may": _bm25_oracle(["merge"], conj=True, may=["dup"]),
         "ft_must_not": _bm25_oracle(["scan"], conj=True, must_not=["dup"]),
         "ft_bm25_mixed_roles": _bm25_oracle(

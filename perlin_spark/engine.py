@@ -761,6 +761,121 @@ class PerlinEngine:
         )
         return out.limit(k) if k is not None else out
 
+    def search_function_score(
+        self,
+        query: "str | QuerySpec",
+        field: str,
+        k: int | None = 10,
+        factor: float = 1.0,
+        modifier: str = "log1p",
+        boost_mode: str = "multiply",
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(doc_id, score) — ES ``function_score`` with a
+        ``field_value_factor`` function: the BM25 score of every matching
+        doc is combined with ``f(factor * field)`` where ``f`` is the
+        ``modifier`` (``log1p`` -> ln(1+x), ``sqrt``, ``none``) and
+        ``boost_mode`` is ``multiply`` or ``sum`` — relevance blended
+        with a stored popularity/recency/length signal.
+
+        Plan shape: the :meth:`search_sorted` shape — one single-stage
+        search job for the full scored match set, a two-column docs-table
+        equi-join on doc_id, the arithmetic inline (whole-stage codegen),
+        then TakeOrdered on (score desc, doc_id asc) — never a full sort,
+        and nothing driver-side.  At 100 TB the join shuffles only the
+        match set against a pruned two-column projection of docs."""
+        if field not in self.index.docs.columns:
+            raise KeyError(
+                f"no stored column {field!r} in the docs table "
+                f"({self.index.docs.columns})"
+            )
+        mods = {
+            "log1p": lambda c: F.log1p(c),
+            "sqrt": lambda c: F.sqrt(c),
+            "none": lambda c: c,
+        }
+        if modifier not in mods:
+            raise ValueError(f"unknown modifier {modifier!r} ({sorted(mods)})")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"unknown boost_mode {boost_mode!r} (multiply | sum)")
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        fv = mods[modifier](F.lit(float(factor)) * F.col(field).cast("double"))
+        combined = (
+            (F.col("score") * fv) if boost_mode == "multiply" else (F.col("score") + fv)
+        )
+        out = (
+            hits.join(self.index.docs.select("doc_id", field), "doc_id")
+            .select("doc_id", combined.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return out.limit(k) if k is not None else out
+
+    def search_rescore(
+        self,
+        query: "str | QuerySpec",
+        rescore_query: "str | QuerySpec",
+        k: int | None = 10,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(doc_id, score) — the ES ``rescore`` window: the top ``window``
+        docs of the primary query (BM25, (score desc, doc_id asc) order)
+        are re-scored by a second query, and the page is the top-k of
+        ``query_weight * primary + rescore_weight * secondary`` (secondary
+        = 0 where the rescore query does not match).  Two-phase ranking:
+        a cheap broad query recalls, an expensive precise one reorders —
+        without ever scoring the expensive query outside the window.
+
+        Plan shape: one primary search job (its k-row window is collected
+        — ``window`` ids, driver-tiny by construction); the secondary
+        query then runs as the SAME single-stage scorer job with the
+        window ids riding the closure as an inclusion filter (the
+        tombstone machinery's twin — out-of-window docs never generate
+        candidates, so a high-df rescore query costs window-bounded work
+        per shard); the combine is arithmetic over <= window rows."""
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        primary = self.search(
+            query, k=window, filters=filters, pipeline=pipeline
+        ).collect()  # <= window rows by construction
+        if not primary:
+            return self._empty_scores()
+        ids = [int(r["doc_id"]) for r in primary]
+        pl = pipeline or self.pipeline
+        spec2 = (
+            rescore_query
+            if isinstance(rescore_query, QuerySpec)
+            else pl.analyze(rescore_query, ())
+        )
+        secondary = _search(
+            self.index, spec2, k=None, prune=False, restrict_ids=ids
+        ).withColumnRenamed("score", "score2")
+        prim_df = self.index.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in primary],
+            "doc_id long, score1 double",
+        )
+        out = (
+            prim_df.join(F.broadcast(secondary), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(float(query_weight)) * F.col("score1")
+                    + F.lit(float(rescore_weight)) * F.coalesce(F.col("score2"), F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return out.limit(k) if k is not None else out
+
+    def _empty_scores(self) -> DataFrame:
+        from .query import RESULT_SCHEMA
+
+        return self.index.spark.createDataFrame([], RESULT_SCHEMA)
+
     #: substring/regex candidacy intersects at most this many trigrams —
     #: the RAREST by df.  Exactness is unaffected (verification is the
     #: contains/rlike filter; dropping trigrams only widens candidates),
@@ -1247,6 +1362,123 @@ class PerlinEngine:
             out.filter(F.col("field") == field)
             .select("doc_id", "term", "tf")
             .orderBy("doc_id", "term")
+        )
+
+    def facet_percentiles(
+        self,
+        query: "str | QuerySpec",
+        by: str,
+        value: str,
+        percentiles: tuple = (0.5, 0.95),
+        filters=(),
+        k: int | None = None,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(by, n_docs, p<NN>_value...) — the ES percentiles
+        sub-aggregation, exact: per facet bucket, the linearly-interpolated
+        (SQL ``percentile_cont``) percentiles of a stored numeric docs
+        column over the FULL match set.  Same plan as :meth:`facet_stats`
+        — one search job + a three-column docs join + one aggregation (the
+        exact percentile buffers each bucket's values in the aggregator;
+        the buckets of a facet column are bounded-cardinality by contract,
+        and at sketch-accuracy needs ``percentile_approx`` drops in with
+        the same plan).  n_docs desc, bucket asc."""
+        for col in (by, value):
+            if col not in self.index.docs.columns:
+                raise KeyError(
+                    f"no stored column {col!r} in the docs table "
+                    f"({self.index.docs.columns})"
+                )
+        ps = [float(p) for p in percentiles]
+        if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+            raise ValueError(f"percentiles must be in [0, 1]: {percentiles}")
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+            F.percentile(F.col(value).cast("double"), F.lit(p)).alias(
+                f"p{int(round(p * 100)):02d}_value"
+            )
+            for p in ps
+        ]
+        out = (
+            hits.join(self.index.docs.select("doc_id", by, value), "doc_id")
+            .groupBy(by)
+            .agg(*aggs)
+            .orderBy(F.desc("n_docs"), F.asc(by))
+        )
+        return out.limit(k) if k is not None else out
+
+    def keywords(
+        self,
+        k_per_doc: int = 3,
+        field: str | None = None,
+    ) -> DataFrame:
+        """(doc_id, term, tf, score) — per-document tf-idf keyword
+        extraction over the committed index: each doc's top ``k_per_doc``
+        terms by ``tf * idf`` (ties term-ascending), the corpus-scale
+        'tag every document' batch op (feeds faceting, routing, weak
+        labels for training data).
+
+        Plan shape: the per-(field,term) vocabulary row (df, idf — tiny)
+        is broadcast-joined onto the COMPRESSED postings rows first, so
+        idf rides each blob before decoding; one Arrow pass decodes blobs
+        to (doc_id, term, tf, score); the per-doc top-k is a row_number
+        window keyed by doc_id — an even-keyed shuffle (every doc has
+        O(dl) terms), never a global sort.  O(postings) total work: the
+        honest lower bound for whole-corpus keyword extraction."""
+        import pandas as pd
+
+        from . import codec
+
+        if k_per_doc < 1:
+            raise ValueError("k_per_doc must be >= 1")
+        f = field or self.pipeline.text_spec.field
+        vocab = self.index.vocabulary.filter(F.col("field") == f).select(
+            "term", "idf"
+        )
+        rows = (
+            self.index.postings.filter(F.col("field") == f)
+            .select("term", "blob")
+            .join(F.broadcast(vocab), "term")
+        )
+
+        def explode(batches):
+            for pdf in batches:
+                frames = []
+                for term, blob, idf in zip(pdf["term"], pdf["blob"], pdf["idf"]):
+                    docs, tfs = codec.decode_postings(bytes(blob))
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": docs,
+                                "term": term,
+                                "tf": tfs,
+                                "score": tfs.astype("float64") * float(idf),
+                            }
+                        )
+                    )
+                yield (
+                    pd.concat(frames, ignore_index=True)
+                    if frames
+                    else pd.DataFrame(
+                        {
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "term": pd.Series([], dtype=str),
+                            "tf": pd.Series([], dtype="int64"),
+                            "score": pd.Series([], dtype="float64"),
+                        }
+                    )
+                )
+
+        from pyspark.sql.window import Window
+
+        flat = rows.mapInPandas(
+            explode, "doc_id long, term string, tf long, score double"
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+        return (
+            flat.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k_per_doc)
+            .drop("rn")
         )
 
     def search_collapse(

@@ -56,6 +56,9 @@ RESULT_SCHEMA = StructType(
     ]
 )
 
+#: widest rescore window the per-query closure will carry (64k ids = 512 KB)
+RESTRICT_CLOSURE_MAX = 65536
+
 
 def bm25_contrib(tf, dl, idf, avgdl, k1, b):
     """BM25 per-term contribution; formula pinned for oracle parity:
@@ -133,7 +136,7 @@ class _ShardScorer:
     def __init__(self, k1: float, b: float, topk: int | None, prune: bool,
                  ops: list[dict], n_groups: int, n_must: int, dl_bc=None,
                  deleted=None, sim: str = "bm25",
-                 after: tuple[float, int] | None = None):
+                 after: tuple[float, int] | None = None, restrict=None):
         self.k1 = k1
         self.b = b
         self.sim = sim
@@ -155,6 +158,12 @@ class _ShardScorer:
         #: the serving shape — IndexData.deleted_broadcast(), so tasks
         #: pickle an 8-byte broadcast handle, not the array (r4 ADVICE)
         self._deleted_src = deleted
+        #: inclusion twin of ``deleted``: when set (sorted int64 array or a
+        #: broadcast of one), ONLY these doc_ids can match — the rescore
+        #: window restriction, applied at the same three points as the
+        #: tombstone filter so pruning thresholds never come from
+        #: out-of-window docs
+        self._restrict_src = restrict
         #: once-per-index broadcast {(field, shard): [dl blobs]}; when set,
         #: rows carry no dl_blob column (no per-query broadcast join)
         self.dl_bc = dl_bc
@@ -163,6 +172,11 @@ class _ShardScorer:
     def deleted(self):
         d = self._deleted_src
         return d.value if hasattr(d, "value") else d
+
+    @property
+    def restrict(self):
+        r = self._restrict_src
+        return r.value if hasattr(r, "value") else r
 
     def _after_mask(self, scores: "np.ndarray", doc_ids: "np.ndarray"):
         """Strictly-after-cursor mask in (score desc, doc_id asc) order.
@@ -325,6 +339,10 @@ class _ShardScorer:
             cand = cand[np.isin(cand, self.deleted, invert=True)]
             if cand.size == 0:
                 return self._empty()
+        if self.restrict is not None:
+            cand = cand[np.isin(cand, self.restrict)]
+            if cand.size == 0:
+                return self._empty()
 
         # --- chained filters (Must / MustNot) --------------------------------
         for op in must:
@@ -453,6 +471,10 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
         # a deleted doc's score must never seed θ: pruning with a
         # threshold the final ranking cannot contain would drop live docs
         seed_docs = seed_docs[np.isin(seed_docs, self.deleted, invert=True)]
+    if self.restrict is not None:
+        # same argument as the tombstone seed filter: an out-of-window
+        # doc's score must never set θ
+        seed_docs = seed_docs[np.isin(seed_docs, self.restrict)]
     seed_scores = np.zeros(seed_docs.size, dtype=np.float64)
     for op in ordered:
         seed_scores += exact(op, seed_docs)
@@ -493,6 +515,8 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
     )
     if self.deleted is not None:
         cand = cand[np.isin(cand, self.deleted, invert=True)]
+    if self.restrict is not None:
+        cand = cand[np.isin(cand, self.restrict)]
     scores = np.zeros(cand.size, dtype=np.float64)
     for op in essential:
         scores += exact(op, cand)
@@ -576,6 +600,7 @@ def search(
     prune: bool = True,
     after: tuple[float, int] | None = None,
     boosts: "dict[str, float] | None" = None,
+    restrict_ids=None,
 ) -> DataFrame:
     """Run an analyzed query -> DataFrame (doc_id, score), best first.
 
@@ -606,7 +631,7 @@ def search(
 
     ops, n_groups, n_must = _query_ops(query, ratios, boosts=boosts)
     return _execute_ops(index, ops, n_groups, n_must, k=k, prune=prune,
-                        after=after)
+                        after=after, restrict=restrict_ids)
 
 
 def search_fielded(
@@ -647,6 +672,7 @@ def _execute_ops(
     k: int | None,
     prune: bool,
     after: tuple[float, int] | None = None,
+    restrict=None,
 ) -> DataFrame:
     """Shared execution tail: op metadata enrichment (driver-cached vocab +
     stats), bucket-pruned postings scan, shard-grouped Arrow scorer, global
@@ -715,9 +741,23 @@ def _execute_ops(
                 f"doc_id {after[1]!r} — did you swap the pair?"
             )
         after = (float(after[0]), int(after[1]))
+    if restrict is not None:
+        # rescore-window inclusion set: per-QUERY and k-row-sized by
+        # construction (it is a top-window of a previous search), so it
+        # rides the UDF closure like the op metadata.  The cap keeps a
+        # misuse (passing a whole corpus) from silently shipping MBs with
+        # every task — at that size the caller wants a join, not rescore.
+        restrict = np.asarray(sorted(int(d) for d in restrict), dtype=np.int64)
+        if restrict.size > RESTRICT_CLOSURE_MAX:
+            raise ValueError(
+                f"restrict_ids has {restrict.size} ids (cap "
+                f"{RESTRICT_CLOSURE_MAX}): a window this wide is not a "
+                "rescore — score the full set and join instead"
+            )
     scorer = _ShardScorer(
         index.k1, index.b, k, prune, ops, n_groups, n_must, dl_bc=dl_bc,
         deleted=index.deleted_broadcast(), sim=sim, after=after,
+        restrict=restrict,
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:

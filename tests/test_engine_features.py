@@ -1152,3 +1152,170 @@ def test_term_vectors(collapse_engine):
     ]
     # unknown doc id -> empty, never raises
     assert collapse_engine.term_vectors(999).count() == 0
+
+
+# --- function score / rescore ---------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rescore_engine(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta sort merge", 10), (1, "alpha beta", 200),
+         (2, "alpha beta sort", 30), (3, "alpha beta merge sort", 1),
+         (4, "sort merge", 500), (5, "alpha beta beta", 40)],
+        "doc_id long, text string, stars long",
+    )
+    spec = FieldSpec(field="text", source="text")
+    return PerlinEngine.build(
+        spark, docs, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    ).cache()
+
+
+def test_function_score_field_value_factor(rescore_engine):
+    import math
+
+    eng = rescore_engine
+    base = {r["doc_id"]: r["score"] for r in eng.search("alpha beta", k=None).collect()}
+    stars = {0: 10, 1: 200, 2: 30, 3: 1, 5: 40}
+    # multiply x log1p (the ES default-ish shape)
+    got = {r["doc_id"]: r["score"]
+           for r in eng.search_function_score("alpha beta", "stars", k=None).collect()}
+    want = {d: s * math.log1p(stars[d]) for d, s in base.items()}
+    assert got == pytest.approx(want)
+    # sum mode + sqrt modifier + factor
+    got2 = {r["doc_id"]: r["score"]
+            for r in eng.search_function_score(
+                "alpha beta", "stars", k=None, factor=4.0,
+                modifier="sqrt", boost_mode="sum").collect()}
+    want2 = {d: s + math.sqrt(4.0 * stars[d]) for d, s in base.items()}
+    assert got2 == pytest.approx(want2)
+    # ordering respects the combined score, (score desc, doc_id asc)
+    rows = eng.search_function_score("alpha beta", "stars", k=3).collect()
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [r["doc_id"] for r in rows] == [d for d, _ in ordered]
+    with pytest.raises(KeyError, match="no stored column"):
+        eng.search_function_score("alpha", "nope")
+    with pytest.raises(ValueError, match="modifier"):
+        eng.search_function_score("alpha", "stars", modifier="exp")
+    with pytest.raises(ValueError, match="boost_mode"):
+        eng.search_function_score("alpha", "stars", boost_mode="max")
+
+
+def test_rescore_window_blend(rescore_engine):
+    eng = rescore_engine
+    primary = {r["doc_id"]: r["score"] for r in eng.search("alpha beta", k=None).collect()}
+    secondary = {r["doc_id"]: r["score"] for r in eng.search("sort merge", k=None).collect()}
+    # window covers the whole match set: every match blends both signals
+    got = {r["doc_id"]: r["score"]
+           for r in eng.search_rescore("alpha beta", "sort merge",
+                                       k=None, window=10, rescore_weight=2.0).collect()}
+    want = {d: p + 2.0 * secondary.get(d, 0.0) for d, p in primary.items()}
+    assert got == pytest.approx(want)
+    # doc 4 matches ONLY the rescore query -> never appears (window gates)
+    assert 4 not in got
+    # a narrow window: only the top-`window` primary docs are rescored
+    top2 = sorted(primary.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    got2 = {r["doc_id"]: r["score"]
+            for r in eng.search_rescore("alpha beta", "sort merge",
+                                        k=None, window=2, rescore_weight=2.0).collect()}
+    assert got2 == pytest.approx(
+        {d: p + 2.0 * secondary.get(d, 0.0) for d, p in top2})
+    # rescore query matching nothing in-window: pure primary order/scores
+    got3 = {r["doc_id"]: r["score"]
+            for r in eng.search_rescore("alpha beta", "zzz",
+                                        k=None, window=10).collect()}
+    assert got3 == pytest.approx(primary)
+    with pytest.raises(ValueError, match="window"):
+        eng.search_rescore("alpha", "beta", window=0)
+    # empty primary -> empty result, no job explosion
+    assert eng.search_rescore("zzz", "alpha", k=5).count() == 0
+
+
+def test_restrict_ids_matches_exhaustive_and_caps(rescore_engine):
+    """The scorer's inclusion filter: MaxScore-pruned restricted search
+    equals the exhaustive restricted ranking; oversized sets refuse."""
+    from perlin_spark.query import RESTRICT_CLOSURE_MAX, search as qsearch
+
+    eng = rescore_engine
+    pl = QueryPipeline(text_spec=FieldSpec(field="text", source="text"),
+                       text_combinator="any")
+    spec = pl.analyze("alpha merge", ())
+    ids = [0, 2, 4]
+    pruned = [(r["doc_id"], r["score"]) for r in qsearch(
+        eng.index, spec, k=2, prune=True, restrict_ids=ids).collect()]
+    exhaustive = [(r["doc_id"], r["score"]) for r in qsearch(
+        eng.index, spec, k=None, prune=False, restrict_ids=ids).collect()[:2]]
+    assert pruned == exhaustive
+    assert {d for d, _ in pruned} <= set(ids)
+    with pytest.raises(ValueError, match="restrict_ids"):
+        qsearch(eng.index, spec, k=2,
+                restrict_ids=range(RESTRICT_CLOSURE_MAX + 1))
+
+
+# --- facet percentiles / keywords ------------------------------------------------
+
+def test_facet_percentiles_exact(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(0, "alpha", "py", 10), (1, "alpha", "py", 200), (2, "alpha", "py", 30),
+         (3, "alpha", "rs", 1), (4, "alpha", "rs", 40), (5, "beta", "rs", 7)],
+        "doc_id long, text string, lang string, stars long",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, docs, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+    got = {r["lang"]: r for r in eng.facet_percentiles(
+        "alpha", by="lang", value="stars", percentiles=(0.5, 0.95)).collect()}
+    groups = {"py": [10, 200, 30], "rs": [1, 40]}
+    for lang, vals in groups.items():
+        assert got[lang]["n_docs"] == len(vals)
+        # Spark exact percentile == numpy linear interpolation (type 7)
+        assert got[lang]["p50_value"] == pytest.approx(
+            float(np.percentile(vals, 50)))
+        assert got[lang]["p95_value"] == pytest.approx(
+            float(np.percentile(vals, 95)))
+    # doc 5 (beta) never contributes
+    assert got["rs"]["n_docs"] == 2
+    with pytest.raises(ValueError, match="percentiles"):
+        eng.facet_percentiles("alpha", by="doc_id", value="stars",
+                              percentiles=(1.5,))
+    with pytest.raises(KeyError, match="no stored column"):
+        eng.facet_percentiles("alpha", by="nope", value="stars")
+
+
+def test_keywords_tfidf_topk(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha alpha beta rare"), (1, "alpha beta beta"),
+         (2, "alpha beta gamma gamma")],
+        "doc_id long, text string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, docs, [spec], pipeline=QueryPipeline(text_spec=spec), n_shards=2
+    )
+    n = 3
+    df = {"alpha": 3, "beta": 3, "gamma": 1, "rare": 1}
+    idf = {t: math.log(1 + (n - d + 0.5) / (d + 0.5)) for t, d in df.items()}
+    tf = {0: {"alpha": 3, "beta": 1, "rare": 1},
+          1: {"alpha": 1, "beta": 2},
+          2: {"alpha": 1, "beta": 1, "gamma": 2}}
+    want = {}
+    for d, terms in tf.items():
+        scored = sorted(((t, c, c * idf[t]) for t, c in terms.items()),
+                        key=lambda x: (-x[2], x[0]))[:2]
+        want[d] = scored
+    got = {}
+    for r in eng.keywords(k_per_doc=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["score"]))
+    for d in got:
+        got[d].sort(key=lambda x: (-x[2], x[0]))
+    assert set(got) == set(want)
+    for d in want:
+        assert [(t, c) for t, c, _ in got[d]] == [(t, c) for t, c, _ in want[d]]
+        for (_, _, gs), (_, _, ws) in zip(got[d], want[d]):
+            assert gs == pytest.approx(ws)
+    with pytest.raises(ValueError, match="k_per_doc"):
+        eng.keywords(k_per_doc=0)

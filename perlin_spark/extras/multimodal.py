@@ -1040,3 +1040,105 @@ def phash_near_pairs(
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprinting -> near-duplicate detection
+# --------------------------------------------------------------------------
+#
+# Haitsma & Kalker's robust audio fingerprint (public literature: "A
+# Highly Robust Audio Fingerprinting System", ISMIR 2002), collapsed to a
+# single 60-bit clip hash: sign of the time-and-band double difference of
+# log band energies over a 13-frame x 6-band grid.  Log + double-diff
+# cancels global gain, so the hash is amplitude-invariant by
+# construction; the same pigeonhole Hamming join serves audio near-dup.
+
+AHASH_BITS = 60
+_AHASH_FRAMES = 13   # -> 12 time derivatives
+_AHASH_BANDS = 6     # -> 5 band derivatives; 12 * 5 = 60 bits
+
+
+def audio_fingerprint(samples: np.ndarray, rate: int) -> int:
+    """60-bit fingerprint of (n, channels) int16 PCM.
+
+    Frames the clip into 13 equal segments, takes log energy in 6
+    log-spaced bands (2%..45% of the sample rate), and emits the sign of
+    the (time, band) double difference -- gain-invariant, stable under
+    small additive noise, far in Hamming space for distinct clips."""
+    mono = samples.astype(np.float64).reshape(samples.shape[0], -1).mean(axis=1)
+    n = mono.size
+    if n < _AHASH_FRAMES * 2:  # degenerate clip: hash the length only
+        return n % (1 << AHASH_BITS)
+    edges_hz = np.geomspace(0.02 * rate, 0.45 * rate, _AHASH_BANDS + 1)
+    frames = np.array_split(mono, _AHASH_FRAMES)
+    e = np.zeros((_AHASH_FRAMES, _AHASH_BANDS))
+    for fi, fr in enumerate(frames):
+        spec = np.abs(np.fft.rfft(fr)) ** 2
+        freqs = np.fft.rfftfreq(fr.size, d=1.0 / rate)
+        for bi in range(_AHASH_BANDS):
+            m = (freqs >= edges_hz[bi]) & (freqs < edges_hz[bi + 1])
+            e[fi, bi] = np.log1p(spec[m].sum())
+    band_diff = e[:, :-1] - e[:, 1:]            # 13 x 5
+    dd = band_diff[1:] - band_diff[:-1]          # 12 x 5
+    h = 0
+    for i, v in enumerate(dd.ravel()):
+        if v > 0:
+            h |= 1 << i
+    return h
+
+
+def audio_hash(media: DataFrame, deterministic: bool = True) -> DataFrame:
+    """audio rows -> (media_id, ahash) via one Arrow decode pass.  The
+    ``deterministic`` contract mirrors :func:`image_phash`: True hashes
+    seeded fake samples derived from the payload; False decodes WAV."""
+
+    def fake_samples(payload: bytes) -> tuple:
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(-2000, 2000, size=(2048, 1)).astype(np.int16), 8000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                if not str(mime).startswith("audio/"):
+                    continue
+                buf = bytes(payload)
+                if deterministic:
+                    samples, rate = fake_samples(buf)
+                elif mime == "audio/wav":
+                    samples, rate = decode_wav(buf)
+                else:
+                    raise NotImplementedError(f"no audio decoder for {mime!r}")
+                ids.append(mid)
+                hashes.append(audio_fingerprint(samples, rate))
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        run, "media_id long, ahash long"
+    )
+
+
+def ahash_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    hashes: DataFrame | None = None,
+    deterministic: bool = True,
+) -> DataFrame:
+    """EXACT audio near-duplicate pairs (media_a, media_b, hamming) --
+    the audio twin of :func:`phash_near_pairs`, over the same
+    pigeonhole-blocked Hamming join."""
+    from perlin_spark.extras import dedup
+
+    sigs = hashes if hashes is not None else audio_hash(media, deterministic)
+    sigs = sigs.select(
+        F.col("media_id").alias("doc_id"), F.col("ahash").alias("simhash")
+    )
+    pairs = dedup.simhash_near_pairs(None, max_hamming=max_hamming, sigs=sigs)
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

@@ -233,6 +233,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.12)
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. token-k-gram form): maximal
+    cross-document duplicated token spans, k=8, min_docs=2."""
+    return dedup.duplicate_substring_spans(_docs(spark, sf_dir))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE-PASS Arrow signature path (scale default) against the
     SQL-derivation oracle — the SQL-form ``dedup.simhash`` is the
@@ -1274,7 +1280,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_more_like_this": q_more_like_this,
         "ft_snippets": q_snippets,
         "ft_bm25_deleted": q_bm25_deleted,
-        "ft_search_after": q_search_after,
         "ft_min_match": q_min_match,
         "ft_collapse_search": q_collapse_search,
         "ft_significant_terms": q_significant_terms,
@@ -1285,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash_near": q_simhash_near,
         "dedup_components": q_dedup_components,
+        "dedup_substring_spans": q_dedup_substring,
         "dedup_embedding_lsh": q_emb_pairs_lsh,
         # -- ANN ------------------------------------------------------------
         "ann_ivf_pq_topk": q_ann_ivf_pq,
@@ -1305,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_search_after": q_search_after,
         "ft_wildcard_search": q_wildcard_search,
         "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
         "ft_facet_percentiles": q_facet_percentiles,
@@ -2497,6 +2504,26 @@ g AS (SELECT component,
 SELECT min_new AS doc_id FROM g
 WHERE has_old = 0 AND min_new IS NOT NULL""",
         "dedup_minhash_lsh": _minhash_oracle(0.12),
+        # exact-substring dedup: positional k-grams -> cross-doc dup grams
+        # -> gaps-and-islands span merge (twin of duplicate_substring_spans)
+        "dedup_substring_spans": """
+WITH tokarr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, g.i - 1 AS pos,
+         array_to_string(toks[g.i : g.i + 7], ' ') AS gram
+  FROM tokarr, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+  WHERE len(toks) >= 8),
+dup AS (SELECT gram FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
+brk AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             THEN 0 ELSE 1 END AS b FROM hits),
+grp AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM brk)
+SELECT doc_id, min(pos)::INT AS start_pos, (max(pos) + 8)::INT AS end_pos,
+       count(*)::BIGINT AS n_grams
+FROM grp GROUP BY doc_id, isl""",
         "dedup_simhash": f"""
 WITH {_TOK},
 h AS (SELECT doc_id, term, tf,

@@ -728,3 +728,114 @@ def dedup_keep_canonical(
     return documents.join(
         comps.filter(F.col("doc_id") == F.col("component")), "doc_id"
     )
+
+
+# --- exact-substring dedup (cross-document duplicated token spans) --------
+#
+# The token-k-gram approximation of suffix-array ExactSubstr dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): a k-token gram occurring in >= min_docs DISTINCT documents
+# marks a duplicated region; overlapping/adjacent marked grams merge into
+# maximal spans.  Within-document repetition is deliberately out of scope
+# here (that is text_repetition's job) — this operator finds the
+# boilerplate/license-header/shared-paragraph mass ACROSS documents.
+#
+# 100-TB shape: positional grams are ~1 row per corpus token; the dup-gram
+# aggregate is an associative two-level hash aggregate on the gram key
+# (hot grams — exactly the boilerplate we hunt — partial-aggregate
+# map-side, so skew costs one combiner pass, not a shuffle explosion);
+# the hits join is a shuffle equi-join on the same key; the span merge is
+# a per-document window (partitionBy doc_id — never a global sort).  At
+# scale, swap the gram STRING key for sha2(gram, 256) (collision-free for
+# any realistic corpus) to shrink shuffle payload; the string key is kept
+# here so the DuckDB oracle reproduces results bit-for-bit.
+
+SUBSTR_K = 8  # tokens per gram (Lee et al. use 50 BPE tokens at 100 TB)
+
+
+def positional_kgrams(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, pos, gram) — EVERY k-token gram with its 0-based token
+    position (unlike shingles_df, positions are kept and grams are not
+    de-duplicated: the span merge needs occurrence sites)."""
+    toks = _tokens()
+    docs = documents.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+
+
+def duplicate_substring_spans(
+    documents: DataFrame, k: int = SUBSTR_K, min_docs: int = 2
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (doc_id, start_pos, end_pos, n_grams) with end_pos exclusive.
+
+    A position is marked when its k-gram occurs in >= min_docs distinct
+    documents; marked positions p, p' merge into one span when
+    p' - p <= k (overlap OR exact adjacency).  n_grams counts the marked
+    gram sites inside the span, so span token length = end_pos - start_pos
+    and n_grams = that length - k + 1 only for unbroken runs."""
+    grams = positional_kgrams(documents, k)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = brk.withColumn(
+        "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + k).alias("end_pos"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "start_pos", "end_pos", "n_grams")
+    )
+
+
+def substring_dup_stats(
+    documents: DataFrame, k: int = SUBSTR_K, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-token mass from the spans:
+    (doc_id, n_tokens, dup_tokens, dup_frac) — dup_frac in [0, 1] is the
+    fraction of the document's tokens covered by cross-document
+    duplicated spans.  Documents with no duplicated span report 0.
+    The standard pretraining gate drops or trims docs above a
+    threshold; compose with text_filter-style predicates."""
+    spans = duplicate_substring_spans(documents, k, min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("end_pos") - F.col("start_pos")).alias("dup_tokens")
+    )
+    return (
+        documents.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

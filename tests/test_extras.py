@@ -1210,3 +1210,67 @@ def test_redact_pii(spark):
     assert tuple(out[3]) == (3, "clean text", 0, 0, 0)
     # the URL stage runs first, so its userinfo never counts as an email
     assert (out[4]["n_url"], out[4]["n_email"]) == (1, 0)
+
+
+# --- exact-substring (token k-gram) dedup ---------------------------------
+
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_substring_spans_basic_and_merge(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _doc_df(spark, [
+        f"one two {shared} three four",
+        f"{shared} unrelated tail words here now",
+        "completely different text with no shared gram at all ok",
+    ])
+    spans = dedup.duplicate_substring_spans(docs, k=8).orderBy("doc_id").collect()
+    # the 8-token shared gram appears once in each of docs 0 and 1
+    assert [(r.doc_id, r.start_pos, r.end_pos, r.n_grams) for r in spans] == [
+        (0, 2, 10, 1),
+        (1, 0, 8, 1),
+    ]
+
+
+def test_substring_spans_overlap_merges_to_one_island(spark):
+    # a 10-token shared run => three marked gram sites (k=8) in each doc,
+    # consecutive positions, must merge into ONE span covering the run
+    run = "a b c d e f g h i j"
+    docs = _doc_df(spark, [f"x {run} y", f"{run} z w q r s"])
+    spans = dedup.duplicate_substring_spans(docs, k=8).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.start_pos, r.end_pos, r.n_grams) for r in spans] == [
+        (0, 1, 11, 3),
+        (1, 0, 10, 3),
+    ]
+
+
+def test_substring_spans_within_doc_repeat_excluded(spark):
+    # the same 8-gram twice in ONE doc is not cross-document duplication
+    run = "p q r s t u v w"
+    docs = _doc_df(spark, [
+        f"{run} mid {run}",
+        "nothing in common with the first document at all here",
+    ])
+    assert dedup.duplicate_substring_spans(docs, k=8).count() == 0
+
+
+def test_substring_spans_short_docs_skipped(spark):
+    docs = _doc_df(spark, ["one two three", "one two three"])
+    assert dedup.duplicate_substring_spans(docs, k=8).count() == 0
+
+
+def test_substring_dup_stats_fraction(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _doc_df(spark, [
+        f"{shared} one two",          # 10 tokens, 8 duplicated
+        f"pre {shared}",              # 9 tokens, 8 duplicated
+        "no overlap here with anything else in this tiny corpus",
+    ])
+    stats = {r.doc_id: r for r in dedup.substring_dup_stats(docs, k=8).collect()}
+    assert stats[0].dup_tokens == 8 and stats[0].n_tokens == 10
+    assert abs(stats[0].dup_frac - 0.8) < 1e-9
+    assert stats[1].dup_tokens == 8 and stats[1].n_tokens == 9
+    assert stats[2].dup_tokens == 0 and stats[2].dup_frac == 0.0

@@ -284,6 +284,14 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, list(qv), k=10, exclude_id=0)
 
 
+def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN: global-scale quantizer, integer-dot
+    candidate pass (k*4 wide), exact cosine rerank."""
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.sq_topk(emb, list(qv), k=10, exclude_id=0)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_stats(_docs(spark, sf_dir))
 
@@ -1210,6 +1218,20 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(eng.search("hash join", k=10))
 
 
+def q_lmdir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable LM-Dirichlet similarity (Lucene LMDirichletSimilarity
+    shape, mu=2000): per-term max(0, ln(1 + tf/(mu*p(t|C))) +
+    ln(mu/(dl+mu))) with p(t|C) = cttf/total_terms from the driver-cached
+    collection-frequency lookup."""
+    import dataclasses
+
+    base = _engine(spark, sf_dir)
+    eng = PerlinEngine(
+        dataclasses.replace(base.index, similarity="lmdir"), base.pipeline
+    )
+    return _score_x1e4(eng.search("hash join", k=10))
+
+
 def q_golden_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own golden queries end-to-end (stemmed, number-routed
     pipeline over the 3-doc corpus): (query_id, doc_id) match matrix."""
@@ -1262,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and_topk": q_bm25_and,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
         "ft_tfidf_topk": q_tfidf_topk,
+        "ft_lmdir_topk": q_lmdir_topk,
         "ft_batch_search": q_batch_search,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
         "ft_hierarchy_search": q_hierarchy_search,
@@ -1280,7 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_more_like_this": q_more_like_this,
         "ft_snippets": q_snippets,
         "ft_bm25_deleted": q_bm25_deleted,
-        "ft_min_match": q_min_match,
         "ft_collapse_search": q_collapse_search,
         "ft_significant_terms": q_significant_terms,
         "ft_percolate": q_percolate,
@@ -1296,12 +1318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_topk": q_ann_ivf_pq,
         "ft_rescore": q_rescore,
         "ann_ivf_pq_kmeans": q_ann_ivf_pq_kmeans,
+        "ann_sq_topk": q_ann_sq,
         # -- pretraining text ops -------------------------------------------
         "text_quality": q_text_quality,
         "text_langid": q_langid,
         "text_unigram_logprob": q_unigram_logprob,
         "text_subword_counts": q_subword_counts,
-        "text_fingerprint": q_fingerprint,
         "text_repetition": q_repetition,
         "text_decontaminate": q_decontaminate,
         "text_pack_sequences": q_pack_sequences,
@@ -1311,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "text_fingerprint": q_fingerprint,
+        "ft_min_match": q_min_match,
         "ft_search_after": q_search_after,
         "ft_wildcard_search": q_wildcard_search,
         "ann_ivf_pq_filtered": q_ann_ivf_pq_filtered,
@@ -1722,6 +1746,40 @@ SELECT vec_id, CAST(floor(s * 10000 + 0.5) AS BIGINT) AS cos_x1e4
 FROM adc ORDER BY s DESC, vec_id LIMIT {k}"""
 
 
+def _ann_sq_oracle(k: int = 10) -> str:
+    """Twin of q_ann_sq (similarity.sq_topk): the pinned int8 scalar
+    quantizer — one global scale = max over rows of (max |x_i|/||x||)/127,
+    code_i = clamp(floor(x_i/(||x||*scale) + 0.5), -127, 127) — then the
+    integer-dot candidate pass cut at k*SQ_RERANK by (adot DESC, vec_id
+    ASC), then EXACT cosine rerank of the survivors.  Every arithmetic
+    step mirrors the Spark expression order (abs-max fold, sum-of-squares
+    norm, x/(nrm*scale)) so the codes agree bit-for-bit."""
+    from perlin_spark.extras.similarity import SQ_RERANK
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+sc AS (SELECT max(list_max(list_transform(v, x -> abs(x))) / nrm) / 127.0 AS s
+       FROM n),
+codes AS (
+  SELECT vec_id,
+         list_transform(v, x -> greatest(-127.0, least(127.0,
+             floor(x / (nrm * sc.s) + 0.5)))) AS c
+  FROM n, sc),
+qc AS (SELECT c AS qcodes FROM codes WHERE vec_id = 0),
+cand AS (SELECT vec_id FROM (
+           SELECT vec_id, row_number() OVER (
+             ORDER BY list_inner_product(c, (SELECT qcodes FROM qc)) DESC,
+                      vec_id ASC) AS rn
+           FROM codes WHERE vec_id <> 0) t
+         WHERE rn <= {k * SQ_RERANK}),
+rr AS (SELECT e.vec_id,
+              list_cosine_similarity(e.v, (SELECT v FROM e WHERE vec_id = 0)) AS cos
+       FROM e JOIN cand USING (vec_id))
+SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM rr ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
 def _ann_ivf_pq_oracle(k: int = 10, pred_sql: str = "") -> str:
     """Replicates the composed ivf_pq_topk_from_cells serving path: IVF
     cell assignment + query probes exactly as :func:`_ann_ivf_oracle`,
@@ -1906,6 +1964,30 @@ sc AS (
          sum(pow(ln(1 + ((SELECT n FROM stv) - q.df + 0.5) / (q.df + 0.5)), 2)
              * sqrt(m.tf) / sqrt(greatest(d.dl, 1))) AS score
   FROM tfv m JOIN qdf q USING (term) JOIN dlv d USING (doc_id)
+  WHERE m.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY 1)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _lmdir_oracle(terms: list[str], k: int = 10) -> str:
+    """Twin of q_lmdir_topk: conjunctive candidacy (the BM25 AND body),
+    scored by the pinned LM-Dirichlet formula max(0, ln(1 + tf/(mu*p)) +
+    ln(mu/(dl+mu))), mu=2000, p = sum(tf over collection)/sum(dl)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOK},
+qt AS (SELECT unnest([{tlist}]) AS term),
+ct AS (SELECT term, sum(tf)::DOUBLE AS cttf FROM tfv JOIN qt USING (term) GROUP BY 1),
+tot AS (SELECT sum(dl)::DOUBLE AS total FROM dlv),
+cand AS (SELECT doc_id FROM tfv JOIN qt USING (term) GROUP BY doc_id
+         HAVING count(DISTINCT term) = (SELECT count(*) FROM qt)),
+sc AS (
+  SELECT m.doc_id,
+         sum(greatest(0.0, ln(1 + m.tf / (2000.0 * (c.cttf / (SELECT total FROM tot))))
+                           + ln(2000.0 / (d.dl + 2000.0)))) AS score
+  FROM tfv m JOIN ct c USING (term) JOIN dlv d USING (doc_id)
   WHERE m.doc_id IN (SELECT doc_id FROM cand)
   GROUP BY 1)
 SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
@@ -2404,6 +2486,7 @@ FROM sc WHERE rn <= 3""",
             must=["window"], must_not=["vector"], may=["dup"],
         ),
         "ft_tfidf_topk": _tfidf_oracle(["hash", "join"]),
+        "ft_lmdir_topk": _lmdir_oracle(["hash", "join"]),
         "ft_batch_search": _batch_search_oracle(),
         "ft_boolean_and_set": f"""
 WITH {_TOK}
@@ -2646,6 +2729,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         # nprobe/rerank must EQUAL exact brute-force cosine (see
         # q_ann_ivf_pq_kmeans docstring)
         "ann_ivf_pq_kmeans": _ANN_COSINE_SQL,
+        "ann_sq_topk": _ann_sq_oracle(),
         "ft_hierarchy_search": _hierarchy_search_oracle(),
         "ft_prefix_search": _prefix_search_oracle(),
         "ft_fuzzy_search": _fuzzy_search_oracle(),

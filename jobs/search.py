@@ -54,7 +54,8 @@ def parse_args(argv):
                    help="regex mode: permit the full-corpus verify scan "
                         "when no mandatory literal >= 3 chars exists")
     p.add_argument("--max-edits", type=int, default=1)
-    p.add_argument("--similarity", choices=["bm25", "tfidf"], default="bm25",
+    p.add_argument("--similarity", choices=["bm25", "tfidf", "lmdir"],
+                   default="bm25",
                    help="ranking similarity (runtime handle attribute)")
     p.add_argument("--window", type=int, default=3,
                    help="near mode: max token span covering all terms")

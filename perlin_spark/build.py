@@ -199,11 +199,12 @@ class IndexData:
     block_size: int
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
-    #: ranking similarity — "bm25" (default, the north-star contract) or
-    #: "tfidf" (classic vector-space: idf^2 * sqrt(tf)/sqrt(dl)).  A
-    #: runtime scoring choice, not part of the stored index (set it on
-    #: the handle after load_index); both keep MaxScore pruning exact
-    #: because their impact bounds are tf-monotone / dl-anti-monotone
+    #: ranking similarity — "bm25" (default, the north-star contract),
+    #: "tfidf" (classic vector-space: idf^2 * sqrt(tf)/sqrt(dl)), or
+    #: "lmdir" (LM Dirichlet, mu=2000: query.lmdir_contrib).  A runtime
+    #: scoring choice, not part of the stored index (set it on the handle
+    #: after load_index); all keep MaxScore pruning exact because their
+    #: impact bounds are tf-monotone / dl-anti-monotone
     similarity: str = "bm25"
     #: pre-aggregation df rows (field, term, df) — for persisted indexes a
     #: small materialized table per epoch, so per-query idf lookups never
@@ -214,6 +215,8 @@ class IndexData:
     buckets: int | None = None
     _stats_map: dict | None = None
     _vocab_cache: dict | None = None
+    #: driver-cached collection term frequencies (LM Dirichlet's p(t|C))
+    _cttf_cache: dict | None = None
     #: once-per-index broadcast of doc-length blobs keyed (field, shard)
     #: (False = measured too big, use the per-query join path instead)
     _dl_bc: object | None = None
@@ -384,6 +387,7 @@ class IndexData:
                     "n_docs": int(r["n_docs"]),
                     "avgdl": float(r["avgdl"]),
                     "mindl": int(r["mindl"]),
+                    "total_terms": int(r["total_terms"]),
                 }
                 for r in self.stats.collect()
             }
@@ -427,6 +431,55 @@ class IndexData:
             for p in missing:
                 self._vocab_cache.setdefault(p, (0, default_idf))
         return {p: self._vocab_cache[p] for p in pairs}
+
+    def cttf_for_terms(self, terms_df: DataFrame) -> DataFrame:
+        """(field, term, cttf) — COLLECTION term frequency (sum of tf over
+        every posting) for the given term rows only.  The broadcast term
+        join happens before the decode, so the per-query cost is a
+        pushdown-filtered read of exactly the query terms' blobs — the
+        same blobs the scorer reads anyway — never a full-index pass."""
+        src = self.postings.join(F.broadcast(terms_df), ["field", "term"])
+
+        def agg(batches):
+            import pandas as _pd
+
+            from . import codec as _codec
+
+            for pdf in batches:
+                rows = []
+                for f, t, blob in zip(pdf["field"], pdf["term"], pdf["blob"]):
+                    _, tfs = _codec.decode_postings(bytes(blob))
+                    rows.append((f, t, int(tfs.sum())))
+                yield _pd.DataFrame(rows, columns=["field", "term", "cttf"])
+
+        schema = StructType(
+            [
+                StructField("field", StringType()),
+                StructField("term", StringType()),
+                StructField("cttf", LongType()),
+            ]
+        )
+        return (
+            src.select("field", "term", "blob")
+            .mapInPandas(agg, schema)
+            .groupBy("field", "term")
+            .agg(F.sum("cttf").alias("cttf"))
+        )
+
+    def cttf_lookup(self, pairs: list[tuple[str, str]]) -> dict:
+        """Driver-cached cttf per (field, term) — vocab_lookup's twin for
+        the LM-Dirichlet p(t|C).  Unknown terms resolve to 0 (they have
+        no postings, so they never contribute anyway)."""
+        if self._cttf_cache is None:
+            self._cttf_cache = {}
+        missing = [p for p in pairs if p not in self._cttf_cache]
+        if missing:
+            terms_df = self.spark.createDataFrame(missing, "field string, term string")
+            for r in self.cttf_for_terms(terms_df).collect():
+                self._cttf_cache[(r["field"], r["term"])] = int(r["cttf"])
+            for p in missing:
+                self._cttf_cache.setdefault(p, 0)
+        return {p: self._cttf_cache[p] for p in pairs}
 
     def frequent_terms(self, field: str, k: int | None = None) -> DataFrame:
         """df-descending term iteration (``Filter::commit`` supplement,
@@ -874,6 +927,10 @@ def build_index(
     geometry, enabling index-only phrase search.
     """
     persisted: list = []
+    if similarity not in ("bm25", "tfidf", "lmdir"):
+        raise ValueError(
+            f"unknown similarity {similarity!r} (bm25 | tfidf | lmdir)"
+        )
     if doc_id_col is None:
         if not order_cols:
             raise ValueError("need order_cols to assign doc ids")

@@ -240,6 +240,7 @@ class PerlinEngine:
         pairs = sorted({(op["field"], op["term"]) for op in ops})
         vocab = idx.vocab_lookup(pairs)
         sim = getattr(idx, "similarity", "bm25")
+        cttf = idx.cttf_lookup(pairs) if sim == "lmdir" else {}
         terms = []
         for op in ops:
             df_g, idf = vocab[(op["field"], op["term"])]
@@ -254,7 +255,12 @@ class PerlinEngine:
                 # the impact bound evaluated at tf=1 (block max_tf values
                 # live shard-side; tf=1 is the floor every match pays)
                 "impact_bound_tf1": float(_impact_bound(
-                    1.0, idf, op["weight"], mindl, avgdl, idx.k1, idx.b, sim
+                    1.0, idf, op["weight"], mindl, avgdl, idx.k1, idx.b, sim,
+                    pc=(
+                        cttf[(op["field"], op["term"])]
+                        / max(float(st.get("total_terms", 0)), 1.0)
+                        if sim == "lmdir" else 0.0
+                    ),
                 )),
             })
         deleted = idx.deleted_array()

@@ -867,3 +867,165 @@ def ivf_pq_topk_from_cells(
     return pq_topk_from_codes(
         table, codebooks, query_vec, k=k, rerank=rerank, exclude_id=exclude_id
     )
+
+
+# --- int8 scalar quantization (Lucene-style SQ with exact rerank) ----------
+#
+# The third ANN family next to LSH and IVF+PQ: every L2-normalized vector
+# is quantized to int8 codes under ONE global scale, the candidate pass
+# ranks by the integer dot product (4x less scan I/O than float32, and
+# at rest the codes table is the compact serving layout), and the final
+# top-k is an EXACT cosine rerank over k*rerank candidates — so
+# quantization error can only cost recall inside the rerank window,
+# never wrong scores in the output.  The quantizer is pinned for oracle
+# parity: code_i = clamp(floor(x_i / (nrm * scale) + 0.5), -127, 127)
+# with scale = max over rows of (max |x_i| / nrm) / 127.
+#
+# 100-TB shape: the scale is one aggregate (computed once at index
+# build, stored with the codes); the candidate pass is a narrow scan of
+# the codes column only; rerank joins the full vectors for k*rerank ids.
+
+SQ_MAXQ = 127.0
+SQ_RERANK = 4
+
+
+def sq_scale(embeddings: DataFrame, col: str = "embedding") -> float:
+    """The global quantization scale: max normalized component magnitude
+    over the whole table, divided by 127.  One Spark aggregate."""
+    comp_max = F.aggregate(
+        F.transform(F.col(col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    row = embeddings.agg(F.max(comp_max / _norm(F.col(col))).alias("m")).collect()[0]
+    return float(row["m"]) / SQ_MAXQ
+
+
+def sq_codes_col(scale: float, col: str = "embedding"):
+    """int8 code array column under the pinned quantizer (codes kept as
+    int — parquet stores them narrow; arithmetic back in double is exact
+    for any |code| <= 127 and dim <= 2^38)."""
+    nrm = _norm(F.col(col))
+    return F.transform(
+        F.col(col),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") / (nrm * F.lit(float(scale))) + F.lit(0.5)),
+            ),
+        ).cast("int"),
+    )
+
+
+def sq_quantize_query(query_vec: list[float], scale: float) -> list[int]:
+    """Driver-side twin of sq_codes_col for the query vector."""
+    v = np.asarray(query_vec, dtype=np.float64)
+    nrm = float(np.sqrt(np.sum(v * v)))
+    q = np.floor(v / (nrm * scale) + 0.5)
+    return [int(x) for x in np.clip(q, -127, 127)]
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    rerank: int = SQ_RERANK,
+    scale: float | None = None,
+) -> DataFrame:
+    """Scalar-quantized ANN: int8-dot candidate ranking (k*rerank wide,
+    deterministic (dot desc, vec_id asc) cut) + exact cosine rerank ->
+    (vec_id, cos_x1e4), best first."""
+    if scale is None:
+        scale = sq_scale(embeddings)
+    qcodes = sq_quantize_query(query_vec, scale)
+    qc = F.array(*[F.lit(c) for c in qcodes])
+    approx = F.aggregate(
+        F.zip_with(sq_codes_col(scale), qc,
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = embeddings
+    if exclude_id is not None:
+        base = base.filter(F.col("vec_id") != exclude_id)
+    cand = (
+        base.select("vec_id", "embedding", approx.alias("adot"))
+        .orderBy(F.desc("adot"), F.asc("vec_id"))
+        .limit(k * rerank)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * F.lit(qn))
+    return (
+        cand.select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_x1e4"),
+        )
+    )
+
+
+def write_sq_codes(
+    embeddings: DataFrame, path: str, scale: float | None = None
+) -> float:
+    """Persist the compact SQ serving layout: codes table (vec_id +
+    int8 codes — the only thing the candidate pass scans) and a one-row
+    meta table carrying the scale.  Returns the scale."""
+    if scale is None:
+        scale = sq_scale(embeddings)
+    spark = embeddings.sparkSession
+    embeddings.select(
+        "vec_id", sq_codes_col(scale).alias("codes")
+    ).write.mode("overwrite").parquet(path + "/codes")
+    spark.createDataFrame([(float(scale),)], "scale double").write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
+    return scale
+
+
+def sq_topk_from_codes(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    rerank: int = SQ_RERANK,
+) -> DataFrame:
+    """Serve from the written layout: scan ONLY the codes table for the
+    candidate pass (narrow int8 columns), then join the full vectors for
+    the k*rerank survivors and rerank exactly."""
+    scale = float(spark.read.parquet(path + "/meta").collect()[0]["scale"])
+    codes = spark.read.parquet(path + "/codes")
+    qcodes = sq_quantize_query(query_vec, scale)
+    qc = F.array(*[F.lit(c) for c in qcodes])
+    approx = F.aggregate(
+        F.zip_with(F.col("codes"), qc,
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    if exclude_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_id)
+    cand = (
+        codes.select("vec_id", approx.alias("adot"))
+        .orderBy(F.desc("adot"), F.asc("vec_id"))
+        .limit(k * rerank)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * F.lit(qn))
+    return (
+        embeddings.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_x1e4"),
+        )
+    )

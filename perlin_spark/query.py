@@ -74,13 +74,33 @@ def tfidf_contrib(tf, dl, idf):
     return idf * idf * np.sqrt(tf) / np.sqrt(np.maximum(dl, 1.0))
 
 
-def sim_contrib(sim, tf, dl, idf, avgdl, k1, b):
-    """Dispatch the per-term contribution by similarity name.  Both
-    similarities are monotone in tf and anti-monotone in dl, which is
+#: Dirichlet smoothing mass — Lucene LMDirichletSimilarity's default,
+#: pinned (with the formula below) for oracle parity
+LMDIR_MU = 2000.0
+
+
+def lmdir_contrib(tf, dl, pc, mu=LMDIR_MU):
+    """LM Dirichlet (Lucene LMDirichletSimilarity shape) per-term
+    contribution, pinned for oracle parity:
+    ``max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl + mu)))`` with mu=2000 and
+    ``p = p(t|C) = cttf/total_terms(field)`` (collection term frequency
+    over total field tokens, IndexData.cttf_lookup).  The per-term clamp
+    at 0 is Lucene's own choice: it keeps every contribution
+    non-negative, so a non-matching term's implicit 0 stays a floor and
+    MaxScore's missing-term assumption holds unchanged."""
+    safe = np.maximum(np.asarray(pc, dtype=np.float64), 1e-300)
+    return np.maximum(0.0, np.log1p(tf / (mu * safe)) + np.log(mu / (dl + mu)))
+
+
+def sim_contrib(sim, tf, dl, idf, avgdl, k1, b, pc=0.0, mu=LMDIR_MU):
+    """Dispatch the per-term contribution by similarity name.  Every
+    similarity is monotone in tf and anti-monotone in dl, which is
     exactly what the MaxScore impact bound requires — a new similarity
     must keep that property or disable pruning."""
     if sim == "tfidf":
         return tfidf_contrib(tf, dl, idf)
+    if sim == "lmdir":
+        return lmdir_contrib(tf, dl, pc, mu)
     return bm25_contrib(tf, dl, idf, avgdl, k1, b)
 
 
@@ -383,7 +403,8 @@ class _ShardScorer:
             else:
                 dl = np.full(int(hit.sum()), op["avgdl"], dtype=np.float64)
             scores[hit] += op["weight"] * sim_contrib(
-                self.sim, tf, dl, op["idf"], op["avgdl"], self.k1, self.b
+                self.sim, tf, dl, op["idf"], op["avgdl"], self.k1, self.b,
+                pc=op.get("pc", 0.0),
             )
 
         # --- shard-local top-k -------------------------------------------------
@@ -400,12 +421,20 @@ class _ShardScorer:
 
 def _impact_bound(max_tf: float, idf: float, weight: float,
                   mindl: float, avgdl: float, k1: float, b: float,
-                  sim: str = "bm25") -> float:
+                  sim: str = "bm25", pc: float = 0.0,
+                  mu: float = LMDIR_MU) -> float:
     """Safe upper bound on a term's contribution: tf <= max_tf and each
     similarity is monotone in tf and anti-monotone in dl (dl >= mindl)."""
     if sim == "tfidf":
         return weight * idf * idf * float(np.sqrt(max_tf)) / float(
             np.sqrt(max(mindl, 1.0))
+        )
+    if sim == "lmdir":
+        if pc <= 0.0 or max_tf <= 0.0:
+            return 0.0  # a term absent from the collection never matches
+        return weight * max(
+            0.0,
+            float(np.log1p(max_tf / (mu * pc)) + np.log(mu / (mindl + mu))),
         )
     return weight * idf * max_tf * (k1 + 1.0) / (
         max_tf + k1 * (1.0 - b + b * mindl / avgdl)
@@ -433,7 +462,8 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
             default=0,
         )
         return _impact_bound(
-            mx, op["idf"], op["weight"], op["mindl"], op["avgdl"], k1, b, sim
+            mx, op["idf"], op["weight"], op["mindl"], op["avgdl"], k1, b, sim,
+            pc=op.get("pc", 0.0),
         )
 
     def exact(op, cand):
@@ -455,7 +485,8 @@ def _scorer_maxscore(self, terms, blobs_by_term, dl_lookup):
         else:
             dl = np.full(int(hit.sum()), op["avgdl"])
         out[hit] = op["weight"] * sim_contrib(
-            sim, tf, dl.astype(np.float64), op["idf"], op["avgdl"], k1, b
+            sim, tf, dl.astype(np.float64), op["idf"], op["avgdl"], k1, b,
+            pc=op.get("pc", 0.0),
         )
         return out
 
@@ -664,6 +695,21 @@ def search_fielded(
     return _execute_ops(index, ops, 1 if ops else 0, 0, k=k, prune=prune)
 
 
+def _attach_pc(index: IndexData, ops: list[dict], stats: dict) -> None:
+    """Enrich ops with ``pc = p(t|C)`` for the LM-Dirichlet similarity:
+    collection term frequency (driver-cached ``cttf_lookup``, one tiny
+    pushdown-filtered decode job per batch of unseen terms — the vocab
+    lookup's cost shape) over the field's exact total token count
+    (already in the stats frame, collected once per index)."""
+    pairs = sorted({(op["field"], op["term"]) for op in ops})
+    cttf = index.cttf_lookup(pairs)
+    for op in ops:
+        total = float(stats.get(op["field"], {}).get("total_terms", 0))
+        op["pc"] = (
+            cttf[(op["field"], op["term"])] / total if total > 0 else 0.0
+        )
+
+
 def _execute_ops(
     index: IndexData,
     ops: list[dict],
@@ -691,6 +737,8 @@ def _execute_ops(
         op["idf"] = idf
         op["avgdl"] = max(float(st["avgdl"]), 1e-9)
         op["mindl"] = max(float(st["mindl"]), 0.0)
+    if getattr(index, "similarity", "bm25") == "lmdir":
+        _attach_pc(index, ops, stats)
 
     fields_needed = sorted({f for f, _ in pairs})
     postings = index.postings
@@ -729,8 +777,8 @@ def _execute_ops(
         )
 
     sim = getattr(index, "similarity", "bm25")
-    if sim not in ("bm25", "tfidf"):
-        raise ValueError(f"unknown similarity {sim!r} (bm25 | tfidf)")
+    if sim not in ("bm25", "tfidf", "lmdir"):
+        raise ValueError(f"unknown similarity {sim!r} (bm25 | tfidf | lmdir)")
     if after is not None:
         # guard the (score, doc_id) order: doc_id must be integral — a
         # swapped (doc_id, score) cursor would otherwise truncate silently
@@ -810,8 +858,8 @@ def search_many(
     rows (the unknown-term/empty-query contract)."""
     spark = index.spark
     sim = getattr(index, "similarity", "bm25")
-    if sim not in ("bm25", "tfidf"):
-        raise ValueError(f"unknown similarity {sim!r} (bm25 | tfidf)")
+    if sim not in ("bm25", "tfidf", "lmdir"):
+        raise ValueError(f"unknown similarity {sim!r} (bm25 | tfidf | lmdir)")
     ratios = {s.field: s.term_doc_ratio for s in index.specs}
     for s in index.specs:
         if s.number_field:
@@ -839,6 +887,9 @@ def search_many(
             op["idf"] = idf
             op["avgdl"] = max(float(st["avgdl"]), 1e-9)
             op["mindl"] = max(float(st["mindl"]), 0.0)
+    if sim == "lmdir":
+        for ops, _, _ in per_q.values():
+            _attach_pc(index, ops, stats)
 
     fields_needed = sorted({f for f, _ in pairs})
     postings = index.postings

@@ -1274,3 +1274,74 @@ def test_substring_dup_stats_fraction(spark):
     assert abs(stats[0].dup_frac - 0.8) < 1e-9
     assert stats[1].dup_tokens == 8 and stats[1].n_tokens == 9
     assert stats[2].dup_tokens == 0 and stats[2].dup_frac == 0.0
+
+
+def test_sq_topk_recall_quantizer_and_served_parity(spark, tmp_path):
+    """int8 scalar quantization (the third ANN family): (a) the pinned
+    quantizer agrees between the Spark column expression and the
+    driver-side query twin; (b) int8-dot candidates + exact rerank
+    recover brute-force cosine top-k on clustered vectors; (c) the
+    written codes layout (write_sq_codes -> sq_topk_from_codes) returns
+    byte-identical output to the in-memory path."""
+    from perlin_spark.extras import similarity as S
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 24)) * 6.0
+    X = np.concatenate(
+        [centers[i] + rng.normal(size=(30, 24)) for i in range(8)]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in X[5]]
+
+    scale = S.sq_scale(emb)
+    assert scale > 0
+    # (a) quantizer parity: column expression vs driver twin, per row
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in emb.select(
+            "vec_id", S.sq_codes_col(scale).alias("codes")
+        ).limit(40).collect()
+    }
+    for vid, codes in got_codes.items():
+        assert codes == S.sq_quantize_query([float(x) for x in X[vid]], scale), vid
+        assert max(abs(c) for c in codes) <= 127
+
+    # (b) recall vs exact brute force
+    brute = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10, exclude_id=5).collect()]
+    got = [r["vec_id"] for r in S.sq_topk(emb, q, k=10, exclude_id=5).collect()]
+    recall = len(set(got) & set(brute)) / 10
+    assert recall >= 0.9
+
+    # (c) served-from-disk parity (narrow codes scan + rerank join)
+    path = str(tmp_path / "sq")
+    wrote = S.write_sq_codes(emb, path, scale=scale)
+    assert wrote == scale
+    served = S.sq_topk_from_codes(spark, path, emb, q, k=10, exclude_id=5).collect()
+    inmem = S.sq_topk(emb, q, k=10, exclude_id=5, scale=scale).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inmem]
+
+
+def test_fingerprint_min_of_shingle_hashes(spark):
+    """fingerprint = min over k-token-shingle md5-60bit hashes; short
+    docs (< k tokens) fall back to hashing the whole text as one
+    shingle.  Hand-verified against hashlib on both branches."""
+    import hashlib
+
+    from perlin_spark.extras import textstats
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "x y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in textstats.fingerprint(docs, k=5).collect()}
+    toks = "a b c d e f g".split()
+    want0 = min(h60(" ".join(toks[i:i + 5])) for i in range(3))
+    assert got[0] == want0
+    assert got[1] == h60("x y")

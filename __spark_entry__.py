@@ -851,6 +851,33 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).facet_counts(FACET_QUERY, by=FACET_BY)
 
 
+def q_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child over the source->document parent axis, BOTH score
+    compositions in one gate: sum (with the min_children=2 floor) and
+    max, tagged by mode.  Parents ranked by folded child BM25."""
+    eng = _engine(spark, sf_dir)
+
+    def shape(df, mode):
+        return df.select(
+            F.lit(mode).alias("mode"),
+            F.col(FACET_BY).alias("parent"),
+            F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_x1e4"),
+            "n_children",
+        )
+
+    s = shape(
+        eng.search_parents(FACET_QUERY, child_key=FACET_BY, k=10,
+                           score_mode="sum", min_children=2),
+        "sum",
+    )
+    m = shape(
+        eng.search_parents(FACET_QUERY, child_key=FACET_BY, k=10,
+                           score_mode="max"),
+        "max",
+    )
+    return s.unionByName(m)
+
+
 def q_collapse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES field collapsing, BOTH physical paths in one gate: top-10 of the
     FACET_QUERY match set keeping the best 1 (max_by aggregate path) and
@@ -1283,7 +1310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_frequent_terms": q_frequent_terms,
         "ft_bm25_and_topk": q_bm25_and,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
-        "ft_tfidf_topk": q_tfidf_topk,
         "ft_lmdir_topk": q_lmdir_topk,
         "ft_batch_search": q_batch_search,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
@@ -1304,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snippets": q_snippets,
         "ft_bm25_deleted": q_bm25_deleted,
         "ft_collapse_search": q_collapse_search,
+        "ft_parent_child": q_parent_child,
         "ft_significant_terms": q_significant_terms,
         "ft_percolate": q_percolate,
         "search_hybrid_rrf": q_hybrid_rrf,
@@ -1333,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_tfidf_topk": q_tfidf_topk,
         "text_fingerprint": q_fingerprint,
         "ft_min_match": q_min_match,
         "ft_search_after": q_search_after,
@@ -2134,6 +2162,35 @@ FROM documents d JOIN cand USING (doc_id)
 GROUP BY 1 ORDER BY n_docs DESC, {FACET_BY}"""
 
 
+def _parent_child_oracle() -> str:
+    """Twin of q_parent_child: fold the FACET_QUERY match set's per-doc
+    BM25 scores per parent (documents.{FACET_BY}) — sum with the
+    min_children=2 floor and max — each globally top-10 by
+    (folded score desc, parent asc)."""
+    return f"""
+WITH {_TOK},
+qdf AS (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM tfv WHERE term = '{FACET_QUERY}'),
+sc AS (
+  SELECT m.doc_id,
+         ln(1 + ((SELECT n FROM stv) - (SELECT df FROM qdf) + 0.5) / ((SELECT df FROM qdf) + 0.5))
+         * m.tf * 2.2
+         / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stv))) AS score
+  FROM tfv m JOIN dlv d USING (doc_id) WHERE m.term = '{FACET_QUERY}'),
+fold AS (
+  SELECT doc.{FACET_BY} AS parent, sum(s.score) AS ssum, max(s.score) AS smax,
+         count(*)::BIGINT AS n_children
+  FROM sc s JOIN documents doc USING (doc_id) GROUP BY 1),
+sums AS (
+  SELECT 'sum' AS mode, parent,
+         CAST(floor(ssum * 10000 + 0.5) AS BIGINT) AS score_x1e4, n_children
+  FROM fold WHERE n_children >= 2 ORDER BY ssum DESC, parent LIMIT 10),
+maxs AS (
+  SELECT 'max' AS mode, parent,
+         CAST(floor(smax * 10000 + 0.5) AS BIGINT) AS score_x1e4, n_children
+  FROM fold ORDER BY smax DESC, parent LIMIT 10)
+SELECT * FROM sums UNION ALL SELECT * FROM maxs"""
+
+
 def _collapse_oracle() -> str:
     """Twin of q_collapse_search: per-source row_number over the BM25
     scores of the FACET_QUERY match set, keeping rn<=1 (mode agg1) and
@@ -2742,6 +2799,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_facet_counts": _facet_counts_oracle(),
         "ft_facet_stats": _facet_stats_oracle(),
         "ft_collapse_search": _collapse_oracle(),
+        "ft_parent_child": _parent_child_oracle(),
         "ft_significant_terms": _significant_terms_oracle(),
         "ft_percolate": _percolate_oracle(),
         "ft_facet_histogram": _facet_histogram_oracle(),

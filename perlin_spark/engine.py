@@ -1560,6 +1560,67 @@ class PerlinEngine:
     #: collapse phase-1 fan-out per group (the skew dial for per_group>1)
     COLLAPSE_SALTS = 32
 
+    #: search_parents score composition modes (ES has_child score_mode,
+    #: plus 'count' = number of matching children as the score)
+    PARENT_SCORE_MODES = ("sum", "max", "min", "avg", "count")
+
+    def search_parents(
+        self,
+        query: "str | QuerySpec",
+        child_key: str,
+        k: int | None = 10,
+        score_mode: str = "sum",
+        min_children: int = 1,
+        filters=(),
+        pipeline: "QueryPipeline | None" = None,
+    ) -> DataFrame:
+        """(child_key, score, n_children) — parent-child search (the ES
+        ``has_child`` query / Lucene block join, reference has no parent
+        axis — beyond-reference): rank PARENTS by a composition of their
+        matching children's relevance.  Children are the indexed docs;
+        the parent key is a stored docs column (site, repo, source, ...).
+        ``score_mode`` folds child scores per parent: ``sum`` (default,
+        ES's), ``max``/``min``/``avg``, or ``count`` (number of matching
+        children — the "how many pages of this site match" shape).
+        ``min_children`` drops parents with fewer matching children (the
+        ES ``min_children`` dial).  Ties: score desc, parent key asc.
+
+        Plan shape: one search job + a doc_id-keyed docs join + ONE
+        map-side-combinable aggregation keyed by the parent value —
+        collapse's 100-TB discipline (never a per-parent sort; parent
+        cardinality bounds the shuffle, not the match set)."""
+        if child_key not in self.index.docs.columns:
+            raise KeyError(
+                f"no stored column {child_key!r} in the docs table "
+                f"({self.index.docs.columns})"
+            )
+        if score_mode not in self.PARENT_SCORE_MODES:
+            raise ValueError(
+                f"unknown score_mode {score_mode!r} "
+                f"(one of {self.PARENT_SCORE_MODES})"
+            )
+        if min_children < 1:
+            raise ValueError("min_children must be >= 1")
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        joined = hits.join(self.index.docs.select("doc_id", child_key), "doc_id")
+        folds = {
+            "sum": F.sum("score"),
+            "max": F.max("score"),
+            "min": F.min("score"),
+            "avg": F.avg("score"),
+            "count": F.count(F.lit(1)).cast("double"),
+        }
+        out = (
+            joined.groupBy(child_key)
+            .agg(
+                folds[score_mode].alias("score"),
+                F.count(F.lit(1)).alias("n_children"),
+            )
+            .filter(F.col("n_children") >= min_children)
+            .orderBy(F.desc("score"), F.asc(child_key))
+        )
+        return out.limit(k) if k is not None else out
+
     #: significant-terms floor — buckets below this foreground doc count
     #: are noise (the ES `min_doc_count` default for significant_terms)
     SIGNIFICANT_MIN_FG = 3

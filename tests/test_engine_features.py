@@ -1319,3 +1319,69 @@ def test_keywords_tfidf_topk(spark):
             assert gs == pytest.approx(ws)
     with pytest.raises(ValueError, match="k_per_doc"):
         eng.keywords(k_per_doc=0)
+
+
+def test_search_parents_folds_and_floor(spark):
+    """has_child parent ranking: every score_mode folds the per-child
+    BM25 scores exactly (verified against the engine's own per-doc
+    scores), min_children floors parents, and bad inputs refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from perlin_spark import FieldSpec, PerlinEngine, QueryPipeline
+
+    spec = FieldSpec(field="text", source="text")
+    rows = [
+        (0, "apple banana", "p1"),
+        (1, "apple apple cherry", "p1"),
+        (2, "apple date", "p2"),
+        (3, "kiwi plum", "p2"),
+        (4, "apple apple apple", "p3"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, site string")
+    eng = PerlinEngine.build(
+        spark, corpus, [spec], pipeline=QueryPipeline(text_spec=spec),
+        n_shards=2,
+    )
+    per_doc = {r["doc_id"]: r["score"]
+               for r in eng.search("apple", k=None).collect()}
+    assert set(per_doc) == {0, 1, 2, 4}
+    site_of = {0: "p1", 1: "p1", 2: "p2", 4: "p3"}
+    kids: dict = {}
+    for d, s in per_doc.items():
+        kids.setdefault(site_of[d], []).append(s)
+
+    def got(mode, min_children=1):
+        return {
+            r["site"]: (r["score"], r["n_children"])
+            for r in eng.search_parents(
+                "apple", child_key="site", score_mode=mode,
+                min_children=min_children, k=None,
+            ).collect()
+        }
+
+    for mode, fold in [("sum", sum), ("max", max), ("min", min),
+                       ("avg", lambda v: sum(v) / len(v)),
+                       ("count", lambda v: float(len(v)))]:
+        g = got(mode)
+        assert set(g) == {"p1", "p2", "p3"}, mode
+        for site, scores in kids.items():
+            assert abs(g[site][0] - fold(scores)) < 1e-9, (mode, site)
+            assert g[site][1] == len(scores), (mode, site)
+
+    # min_children floor: only p1 has 2 matching children
+    assert set(got("sum", min_children=2)) == {"p1"}
+    # ranking order: sum mode, score desc then site asc
+    order = [r["site"] for r in
+             eng.search_parents("apple", child_key="site", k=None).collect()]
+    want = sorted(kids, key=lambda s: (-sum(kids[s]), s))
+    assert order == want
+
+    with pytest.raises(KeyError, match="nope"):
+        eng.search_parents("apple", child_key="nope")
+    with pytest.raises(ValueError, match="score_mode"):
+        eng.search_parents("apple", child_key="site", score_mode="mean")
+    with pytest.raises(ValueError, match="min_children"):
+        eng.search_parents("apple", child_key="site", min_children=0)
+    # no matches -> empty, never raises
+    assert eng.search_parents("zzzqqq", child_key="site").count() == 0

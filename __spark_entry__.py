@@ -1215,6 +1215,39 @@ def q_bm25_and_dl_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_x1e4(_engine_dl_fallback(spark, sf_dir).search("hash join", k=10))
 
 
+def _engine_resharded(spark: SparkSession, sf_dir: str) -> PerlinEngine:
+    """Build at n_shards=5, then reshard_index to 3 — chunk changes, so
+    posting blobs genuinely split/merge across the new range boundaries
+    (the pass-through fast path alone would be an empty gate)."""
+    key = f"reshard:{sf_dir}"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        from perlin_spark.build import reshard_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        eng0 = PerlinEngine.build(
+            spark,
+            docs,
+            [DOC_SPEC],
+            pipeline=QueryPipeline(text_spec=DOC_SPEC, text_combinator="all"),
+            content_col="text",
+            n_shards=5,
+        )
+        eng = PerlinEngine(
+            index=reshard_index(eng0.index, 3), pipeline=eng0.pipeline
+        ).cache()
+        _ENGINES[key] = eng
+    return eng
+
+
+def q_bm25_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-count migration end-to-end: the index is REBUILT at a
+    different geometry purely by posting-blob surgery (reshard_index),
+    and BM25 over it must still equal the from-text oracle exactly —
+    scores, ranks, and ties."""
+    return _score_x1e4(_engine_resharded(spark, sf_dir).search("merge scan", k=10))
+
+
 BATCH_QUERIES = {"hj": "hash join", "ms": "merge sort"}
 
 
@@ -1307,12 +1340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_postings_flat": q_postings_flat,
         "ft_vocabulary": q_vocabulary,
         "ft_doc_stats": q_doc_stats,
-        "ft_frequent_terms": q_frequent_terms,
         "ft_bm25_and_topk": q_bm25_and,
         "ft_bm25_mixed_roles": q_bm25_mixed_roles,
         "ft_lmdir_topk": q_lmdir_topk,
         "ft_batch_search": q_batch_search,
         "ft_bm25_and_dl_fallback": q_bm25_and_dl_fallback,
+        "ft_bm25_resharded": q_bm25_resharded,
         "ft_hierarchy_search": q_hierarchy_search,
         # -- code-corpus gates (AlphaNumericTokenizer + u64 router) --------
         "ft_code_ident_bm25": q_code_ident_bm25,
@@ -1360,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "ft_frequent_terms": q_frequent_terms,
         "ft_tfidf_topk": q_tfidf_topk,
         "text_fingerprint": q_fingerprint,
         "ft_min_match": q_min_match,
@@ -2812,6 +2846,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_more_like_this": _more_like_this_oracle(),
         "ft_snippets": _snippets_oracle(),
         "ft_bm25_and_dl_fallback": _bm25_oracle(["hash", "join"], conj=True),
+        "ft_bm25_resharded": _bm25_oracle(["merge", "scan"], conj=True),
         "dedup_embedding_exact": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=False),
         "dedup_embedding_lsh": _emb_pairs_oracle(EMB_PAIR_THRESHOLD, lsh=True),
         "golden_reference_suite": _golden_oracle(),

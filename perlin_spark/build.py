@@ -1058,3 +1058,107 @@ def index_from_merged(
         b=b,
         vocab_source=vocab_source,
     )
+
+
+def reshard_index(
+    idx: IndexData,
+    n_shards: int,
+    num_partitions: int | None = None,
+) -> IndexData:
+    """Re-shard an index to a different shard count WITHOUT re-tokenizing
+    (the ES shrink/split lifecycle operation — reference indexes are
+    single-process and never reshard; beyond-reference).
+
+    Shards are contiguous doc-id ranges (``shard = doc_id // chunk``), so
+    resharding is pure posting-blob surgery: each (field, term, shard)
+    blob is decoded once and SPLIT at the new range boundaries into
+    partial rows (a blob that lands entirely inside one new shard is
+    passed through byte-identical, no re-encode), and the partials then
+    ride the SAME term-hash merge as a build — byte-splicing reducers,
+    never a row-level shuffle.  Shuffle volume is the compressed index,
+    not the corpus: at 100 TB this is the difference between an overnight
+    re-index and a minutes-long metadata-plus-blobs pass.  Doc ids,
+    scores, df/idf, and stats are all invariants (pinned by
+    ``test_reshard_search_identical``).
+
+    Positional sidecars are not resharded yet — rebuild with
+    ``build_index(..., positions=True)`` if you need them at the new
+    geometry.  Tombstones carry over unchanged (doc ids are stable).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if idx.positions is not None:
+        raise ValueError(
+            "reshard_index does not reshard the positional sidecar yet — "
+            "rebuild with build_index(..., positions=True) at the new "
+            "shard count instead"
+        )
+    spark = idx.spark
+    fields = field_names(idx.specs)
+    fid_of = {f: i for i, f in enumerate(fields)}
+    id_space = idx.chunk * idx.n_shards  # every doc_id < this by layout
+    new_chunk = max(1, math.ceil(id_space / n_shards))
+    block_size = idx.block_size
+
+    src = idx.postings.select("field", "term", "blob").unionByName(
+        idx.doc_lens.select(
+            "field", F.lit(DL_MARKER).alias("term"), "blob"
+        )
+    )
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for fld, term, blob in zip(pdf["field"], pdf["term"], pdf["blob"]):
+                fid = fid_of[fld]
+                raw = bytes(blob)
+                docs, tfs = codec.decode_postings(raw)
+                lo_s = int(docs[0]) // new_chunk
+                hi_s = int(docs[-1]) // new_chunk
+                if lo_s == hi_s:
+                    # whole blob inside one new shard: byte-identical pass
+                    out.append((
+                        fid, term, lo_s, int(docs.size), int(tfs.max()),
+                        int(docs[0]), int(docs[-1]), raw,
+                    ))
+                    continue
+                bounds = np.arange(lo_s + 1, hi_s + 1, dtype=np.int64) * new_chunk
+                cuts = np.searchsorted(docs, bounds, side="left")
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [docs.size]))
+                for s, e in zip(starts, ends):
+                    if e <= s:
+                        continue
+                    d, t = docs[s:e], tfs[s:e]
+                    out.append((
+                        fid, term, int(d[0]) // new_chunk, int(e - s),
+                        int(t.max()), int(d[0]), int(d[-1]),
+                        codec.encode_postings(d, t, block_size),
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "fid", "term", "shard", "df", "max_tf",
+                    "first_doc", "last_doc", "blob",
+                ],
+            )
+
+    partials = src.mapInPandas(split, PARTIAL_SCHEMA)
+    shuffle_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    merged = (
+        merge_partials(partials, fields, shuffle_parts, block_size)
+        .withColumn("epoch", F.lit(0))
+    ).persist()
+
+    out = index_from_merged(
+        spark, idx.specs, merged, idx.docs,
+        n_docs=idx.n_docs, chunk=new_chunk, n_shards=n_shards,
+        block_size=block_size, k1=idx.k1, b=idx.b,
+    )
+    out.similarity = idx.similarity
+    out._persisted = [merged]
+    if idx.deleted is not None:
+        out.set_deleted(idx.deleted)
+    return out

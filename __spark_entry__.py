@@ -185,6 +185,15 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with a CALENDAR interval (day buckets, UTC
+    wall-clock alignment) — calendar-aligned unlike the fixed-width
+    epoch buckets of events_windowed_stats."""
+    return events.date_histogram(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), unit="day"
+    )
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON probe of the props column, per event type."""
     return events.props_key_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -1408,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_histogram": q_facet_histogram,
         "ft_term_vectors": q_term_vectors,
         "events_windowed_stats": q_events_windowed,
+        "events_date_histogram": q_events_date_histogram,
         "ft_regex_search": q_regex_search,
         "ft_suggest": q_suggest,
         "ft_synonym_search": q_synonym_search,
@@ -2610,6 +2620,13 @@ SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
 FROM documents d LEFT JOIN comp c USING (doc_id)""",
         "events_windowed_stats": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start_s,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_x100
+FROM events GROUP BY 1, 2""",
+        "events_date_histogram": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
        event_type,
        count(*)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users,

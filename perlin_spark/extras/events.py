@@ -100,3 +100,42 @@ def props_key_stats(events: DataFrame, key: str = "k") -> DataFrame:
             F.sum("v").alias("sum_vals"),
         )
     )
+
+
+#: calendar units date_histogram accepts (the ES calendar_interval set
+#: that is boundary-stable across engines)
+DATE_HISTOGRAM_UNITS = ("hour", "day", "week", "month")
+
+
+def date_histogram(events: DataFrame, unit: str = "day") -> DataFrame:
+    """(bucket, event_type, n_events, n_users, sum_value_x100) — the ES
+    ``date_histogram`` aggregation with a CALENDAR interval: buckets are
+    calendar-aligned (months vary in length, weeks start Monday), unlike
+    :func:`windowed_stats`' fixed-width epoch buckets.
+
+    Timezone discipline: the timestamp goes through :func:`_epoch_s`
+    (tz-invariant epoch seconds) and is rebuilt as a UTC wall-clock
+    ``timestamp_ntz`` before ``date_trunc`` — so bucket boundaries are
+    pure UTC calendar arithmetic under ANY ``spark.sql.session.timeZone``,
+    matching DuckDB's naive ``date_trunc``.  Bucket is emitted as a
+    ``yyyy-MM-dd HH:mm:ss`` string (engine-portable, sortable).
+
+    One map-side-combinable aggregation keyed by (bucket, type) — bucket
+    cardinality bounds the shuffle, the 100-TB facet discipline."""
+    if unit not in DATE_HISTOGRAM_UNITS:
+        raise ValueError(
+            f"unknown unit {unit!r} (one of {DATE_HISTOGRAM_UNITS})"
+        )
+    ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_interval(
+        secs=_epoch_s(events).cast("double")
+    )
+    bucket = F.date_format(F.date_trunc(unit, ntz), "yyyy-MM-dd HH:mm:ss")
+    return (
+        events.groupBy(bucket.alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("sum_value_x100"),
+        )
+        .orderBy("bucket", "event_type")
+    )

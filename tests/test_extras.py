@@ -1345,3 +1345,37 @@ def test_fingerprint_min_of_shingle_hashes(spark):
     want0 = min(h60(" ".join(toks[i:i + 5])) for i in range(3))
     assert got[0] == want0
     assert got[1] == h60("x y")
+
+
+def test_date_histogram_calendar_boundaries(spark):
+    """Calendar alignment: month buckets split at month boundaries
+    (variable length), week buckets start Monday, and the counts/stats
+    fold exactly; unknown units refuse loudly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from perlin_spark.extras import events as E
+
+    rows = [
+        # Jan 31 23:30 and Feb 1 00:30 straddle a month boundary
+        (0, dt.datetime(2024, 1, 31, 23, 30), 1, "click", 1.0, "{}"),
+        (1, dt.datetime(2024, 2, 1, 0, 30), 1, "click", 2.0, "{}"),
+        # Sun Feb 4 / Mon Feb 5 straddle an ISO week boundary
+        (2, dt.datetime(2024, 2, 4, 12, 0), 2, "view", 0.5, "{}"),
+        (3, dt.datetime(2024, 2, 5, 0, 0), 2, "view", 0.25, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    mon = {(r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_x100"])
+           for r in E.date_histogram(ev, "month").collect()}
+    assert mon[("2024-01-01 00:00:00", "click")] == (1, 100)
+    assert mon[("2024-02-01 00:00:00", "click")] == (1, 200)
+    wk = {r["bucket"] for r in E.date_histogram(ev, "week").collect()
+          if r["event_type"] == "view"}
+    assert wk == {"2024-01-29 00:00:00", "2024-02-05 00:00:00"}
+    with _pytest.raises(ValueError, match="unit"):
+        E.date_histogram(ev, "fortnight")

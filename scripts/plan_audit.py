@@ -113,6 +113,19 @@ def main() -> None:
          + grep(plan_t, r"doc_id#\d+L IN|INSET|dynamicpruning", 2)
          + [l for l in plan_t.splitlines() if "ReadSchema" in l and "text" in l][:1])
 
+    # 4b. parent-child fold: two-phase aggregate keyed by the parent
+    eng_pc = PerlinEngine.build(spark, docs, [spec], pipeline=pl, n_shards=4)
+    pc = eng_pc.search_parents("merge", child_key="source", k=10)
+    pc.collect()
+    plan_pc = pc._jdf.queryExecution().executedPlan().toString()
+    show("search_parents (has_child fold)",
+         "per-parent score fold is a map-side-combinable two-phase "
+         "HashAggregate (partial_sum below the exchange, no Window) -- "
+         "parent cardinality bounds the shuffle, and the global top-k "
+         "is TakeOrderedAndProject",
+         grep(plan_pc, r"partial_sum", 1)
+         + grep(plan_pc, r"TakeOrderedAndProject", 1))
+
     # 5. IVF at rest: probed cells prune the parquet scan
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])

@@ -1385,3 +1385,24 @@ def test_search_parents_folds_and_floor(spark):
         eng.search_parents("apple", child_key="site", min_children=0)
     # no matches -> empty, never raises
     assert eng.search_parents("zzzqqq", child_key="site").count() == 0
+
+
+def test_search_parents_plan_two_phase_agg(spark):
+    """The parent fold is a map-side-combinable two-phase HashAggregate
+    keyed by the parent value (partial_sum below the exchange), with no
+    Window/global-sort — parent cardinality, not the match set, bounds
+    the shuffle — and the top-k is TakeOrderedAndProject."""
+    from perlin_spark import FieldSpec, PerlinEngine, QueryPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, docs, [spec], pipeline=QueryPipeline(text_spec=spec),
+        n_shards=4,
+    )
+    df = eng.search_parents("merge", child_key="source", k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

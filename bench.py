@@ -399,6 +399,62 @@ def main() -> None:
             times["ft_significant_terms"], time.perf_counter() - t0
         )
 
+    # r5-s5 additions, each a distinct cost shape: LM-Dirichlet scoring
+    # (adds the warm driver-cached cttf lookup to the stock query job),
+    # the has_child parent fold (search job + docs join + one combinable
+    # aggregate), scalar-quantized ANN at rest (narrow int8 codes scan +
+    # rerank join), calendar date-histogram (one grouped scan of events),
+    # and reshard (build-class: decode-split + byte-splice merge)
+    eng.index.similarity = "lmdir"
+    eng.search("hash join", k=10).collect()  # warm (fills the cttf cache)
+    times["q_lmdir"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.search("hash join", k=10).collect()
+        times["q_lmdir"] = min(times["q_lmdir"], time.perf_counter() - t0)
+    eng.index.similarity = "bm25"
+
+    eng.search_parents("scan", child_key="source", score_mode="sum").collect()
+    times["ft_parent_child"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.search_parents("scan", child_key="source", score_mode="sum").collect()
+        times["ft_parent_child"] = min(
+            times["ft_parent_child"], time.perf_counter() - t0
+        )
+
+    sq_path = "/tmp/perlin_bench_sq"
+    similarity.write_sq_codes(emb, sq_path)
+    similarity.sq_topk_from_codes(spark, sq_path, emb, qv, k=10, exclude_id=0).collect()
+    times["ann_sq_topk"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        similarity.sq_topk_from_codes(
+            spark, sq_path, emb, qv, k=10, exclude_id=0
+        ).collect()
+        times["ann_sq_topk"] = min(times["ann_sq_topk"], time.perf_counter() - t0)
+
+    from perlin_spark.extras import events as events_mod
+
+    ev_df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events_mod.date_histogram(ev_df, "day").count()  # warm
+    times["events_date_histogram"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        events_mod.date_histogram(ev_df, "day").count()
+        times["events_date_histogram"] = min(
+            times["events_date_histogram"], time.perf_counter() - t0
+        )
+
+    from perlin_spark.build import reshard_index as _reshard
+
+    t0 = time.perf_counter()
+    _ridx = _reshard(eng.index, max(CPUS // 4, 2))
+    _ridx.postings.count()
+    times["reshard_index"] = time.perf_counter() - t0
+    for df in _ridx._persisted:
+        df.unpersist()
+
     total = time.perf_counter() - t_total0 - sleep_total
     out = {
         "metric": "index-build docs/sec + BM25 query latency (documents + synth code corpus)",

@@ -860,6 +860,38 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).facet_counts(FACET_QUERY, by=FACET_BY)
 
 
+def q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality sub-aggregation, exact mode: per lang bucket of the
+    FACET_QUERY match set, the number of matching docs and of DISTINCT
+    sources.  (The approx=True HLL++ path is pytest-gated against this
+    exact path in test_facet_cardinality_exact_and_approx.)"""
+    return _engine(spark, sf_dir).facet_cardinality(
+        FACET_QUERY, by="lang", value=FACET_BY
+    )
+
+
+def q_facet_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation: first two keyset pages (size 4) of the
+    (lang, source) bucket set of the FACET_QUERY match set, tagged by
+    page.  Page 2 resumes from page 1's last key via ``after`` — the
+    export-all-buckets shape; the page-1/page-2 split gates the
+    lexicographic after-key predicate itself."""
+    eng = _engine(spark, sf_dir)
+    by = ["lang", FACET_BY]
+    p1 = eng.facet_composite(FACET_QUERY, by=by, size=4)
+    last = p1.collect()[-1]
+    p2 = eng.facet_composite(
+        FACET_QUERY, by=by, size=4, after=(last["lang"], last[FACET_BY])
+    )
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("page"), "lang", FACET_BY, "n_docs"
+        )
+
+    return tag(p1, "p1").unionAll(tag(p2, "p2"))
+
+
 def q_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES has_child over the source->document parent axis, BOTH score
     compositions in one gate: sum (with the min_children=2 floor) and
@@ -1375,7 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_parent_child": q_parent_child,
         "ft_significant_terms": q_significant_terms,
         "ft_percolate": q_percolate,
-        "search_hybrid_rrf": q_hybrid_rrf,
+        "ft_facet_cardinality": q_facet_cardinality,
         # -- dedup ----------------------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_minhash_lsh,
@@ -1402,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events ----------------------------------------------------------
         "events_sessions": q_events_sessions,
         # ==== cap boundary: entries below are ROTATED OUT (see FIXTURES.md) =
+        "search_hybrid_rrf": q_hybrid_rrf,
+        "ft_facet_composite": q_facet_composite,
         "ft_frequent_terms": q_frequent_terms,
         "ft_tfidf_topk": q_tfidf_topk,
         "text_fingerprint": q_fingerprint,
@@ -2206,6 +2240,33 @@ FROM documents d JOIN cand USING (doc_id)
 GROUP BY 1 ORDER BY n_docs DESC, {FACET_BY}"""
 
 
+def _facet_cardinality_oracle() -> str:
+    """Twin of q_facet_cardinality: per-lang matching-doc counts and
+    distinct-source counts over the term query's match set."""
+    return f"""
+WITH {_TOK},
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term = '{FACET_QUERY}')
+SELECT d.lang AS lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT d.{FACET_BY})::BIGINT AS n_distinct
+FROM documents d JOIN cand USING (doc_id)
+GROUP BY 1 ORDER BY n_docs DESC, lang"""
+
+
+def _facet_composite_oracle() -> str:
+    """Twin of q_facet_composite: keyset page 2 of the (lang, source)
+    bucket walk equals OFFSET size in key order, so the two tagged pages
+    are LIMIT 4 and LIMIT 4 OFFSET 4 of the ordered bucket set."""
+    return f"""
+WITH {_TOK},
+cand AS (SELECT DISTINCT doc_id FROM tfv WHERE term = '{FACET_QUERY}'),
+b AS (SELECT d.lang AS lang, d.{FACET_BY} AS {FACET_BY},
+             count(*)::BIGINT AS n_docs
+      FROM documents d JOIN cand USING (doc_id) GROUP BY 1, 2),
+p1 AS (SELECT 'p1' AS page, * FROM b ORDER BY lang, {FACET_BY} LIMIT 4),
+p2 AS (SELECT 'p2' AS page, * FROM b ORDER BY lang, {FACET_BY} LIMIT 4 OFFSET 4)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2"""
+
+
 def _parent_child_oracle() -> str:
     """Twin of q_parent_child: fold the FACET_QUERY match set's per-doc
     BM25 scores per parent (documents.{FACET_BY}) — sum with the
@@ -2849,6 +2910,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ft_near_search": _near_search_oracle(),
         "ft_facet_counts": _facet_counts_oracle(),
         "ft_facet_stats": _facet_stats_oracle(),
+        "ft_facet_cardinality": _facet_cardinality_oracle(),
+        "ft_facet_composite": _facet_composite_oracle(),
         "ft_collapse_search": _collapse_oracle(),
         "ft_parent_child": _parent_child_oracle(),
         "ft_significant_terms": _significant_terms_oracle(),

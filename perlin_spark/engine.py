@@ -1413,6 +1413,116 @@ class PerlinEngine:
         )
         return out.limit(k) if k is not None else out
 
+    def facet_cardinality(
+        self,
+        query: "str | QuerySpec",
+        by: str,
+        value: str,
+        filters=(),
+        k: int | None = None,
+        approx: bool = False,
+        rsd: float = 0.05,
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(by, n_docs, n_distinct) — the ES ``cardinality``
+        sub-aggregation: per facet bucket, how many DISTINCT values of a
+        stored docs column appear in the FULL match set (unique authors
+        per language, unique repos per tag, ...).  Same plan as
+        :meth:`facet_stats` — one search job + a three-column docs join +
+        one aggregation.
+
+        ``approx=False`` (default) computes the exact distinct count —
+        Spark plans it as a two-phase aggregate (partial distinct below
+        the exchange keyed on ``(by, value)``), so the shuffle carries at
+        most one row per distinct pair, not per matching doc.  At 100 TB
+        a high-cardinality ``value`` makes even that pair set huge;
+        ``approx=True`` switches to ``approx_count_distinct`` (Spark's
+        HyperLogLog++), whose fixed-size sketches partial-aggregate
+        map-side and merge in the exchange — constant shuffle bytes per
+        bucket regardless of cardinality, the same sketch-merge shape a
+        multi-executor cluster needs.  ``rsd`` is the HLL relative
+        standard deviation (ES default 40000 thresholds ~ rsd 0.0065).
+        n_docs desc, bucket asc."""
+        for col in (by, value):
+            if col not in self.index.docs.columns:
+                raise KeyError(
+                    f"no stored column {col!r} in the docs table "
+                    f"({self.index.docs.columns})"
+                )
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        distinct = (
+            F.approx_count_distinct(value, rsd) if approx
+            else F.count_distinct(F.col(value))
+        )
+        out = (
+            hits.join(self.index.docs.select("doc_id", by, value), "doc_id")
+            .groupBy(by)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                distinct.alias("n_distinct"),
+            )
+            .orderBy(F.desc("n_docs"), F.asc(by))
+        )
+        return out.limit(k) if k is not None else out
+
+    def facet_composite(
+        self,
+        query: "str | QuerySpec",
+        by: "str | list[str]",
+        size: int = 10,
+        after: tuple | None = None,
+        filters=(),
+        pipeline: QueryPipeline | None = None,
+    ) -> DataFrame:
+        """(by..., n_docs) — the ES ``composite`` aggregation: bucket the
+        FULL match set by one or more stored docs columns and page
+        through ALL buckets in deterministic key order, ``size`` at a
+        time, resuming from ``after`` (the last key tuple of the previous
+        page).  This is how a terms agg with millions/billions of buckets
+        is exported without materializing it: each page is an independent
+        job whose cost is one aggregation + a keyset predicate — no
+        OFFSET (whose per-shard buffer grows with depth) and no driver
+        accumulation.  Buckets order key-ascending (NULL-free by
+        contract: composite sources must be non-null columns).
+
+        ``after`` is a tuple matching ``by``; the next page is every
+        bucket with key lexicographically GREATER than it — the same
+        keyset-pagination shape as :meth:`search` ``after=``.  The
+        predicate sits on the aggregate OUTPUT (bucket keys), but
+        Catalyst pushes single-column prefixes below the aggregate into
+        the docs scan, so deep pages also prune input under a
+        key-clustered layout."""
+        keys = [by] if isinstance(by, str) else list(by)
+        if not keys:
+            raise ValueError("facet_composite needs at least one key column")
+        for col in keys:
+            if col not in self.index.docs.columns:
+                raise KeyError(
+                    f"no stored column {col!r} in the docs table "
+                    f"({self.index.docs.columns})"
+                )
+        if after is not None and len(after) != len(keys):
+            raise ValueError(
+                f"after has {len(after)} values for {len(keys)} key columns"
+            )
+        hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        out = (
+            hits.join(self.index.docs.select("doc_id", *keys), "doc_id")
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        if after is not None:
+            # lexicographic tuple > after, expanded to OR-of-AND-prefixes
+            # (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ...
+            clause = None
+            for i in range(len(keys)):
+                c = F.col(keys[i]) > F.lit(after[i])
+                for j in range(i):
+                    c = (F.col(keys[j]) == F.lit(after[j])) & c
+                clause = c if clause is None else (clause | c)
+            out = out.filter(clause)
+        return out.orderBy(*[F.asc(c) for c in keys]).limit(size)
+
     def keywords(
         self,
         k_per_doc: int = 3,

@@ -1406,3 +1406,70 @@ def test_search_parents_plan_two_phase_agg(spark):
     assert "partial_sum" in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_facet_cardinality_exact_and_approx(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "py", "s1"), (1, "alpha", "py", "s2"),
+         (2, "alpha beta", "rs", "s1"), (3, "alpha", "py", "s1"),
+         (4, "gamma", "py", "s9")],
+        "doc_id long, text string, lang string, source string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    pl = QueryPipeline(text_spec=spec, text_combinator="any")
+    eng = PerlinEngine.build(spark, docs, [spec], pipeline=pl, n_shards=2)
+    rows = {r["lang"]: r
+            for r in eng.facet_cardinality("alpha", by="lang",
+                                           value="source").collect()}
+    # doc 4 (gamma) is outside the match set: py matches {s1,s2,s1}->2
+    assert rows["py"]["n_docs"] == 3 and rows["py"]["n_distinct"] == 2
+    assert rows["rs"]["n_docs"] == 1 and rows["rs"]["n_distinct"] == 1
+    # HLL path: exact at this cardinality, and its plan is the sketch
+    # aggregate (partial merge), not a distinct expansion
+    adf = eng.facet_cardinality("alpha", by="lang", value="source",
+                                approx=True)
+    arows = {r["lang"]: r for r in adf.collect()}
+    assert arows["py"]["n_distinct"] == 2 and arows["rs"]["n_distinct"] == 1
+    plan = adf._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan and "distinct" in plan.lower()
+    with pytest.raises(KeyError, match="no stored column"):
+        eng.facet_cardinality("alpha", by="lang", value="nope")
+
+
+def test_facet_composite_pages_cover_all_buckets(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha", f"l{i % 3}", f"s{i % 5}") for i in range(30)]
+        + [(99, "gamma only", "zz", "zz")],
+        "doc_id long, text string, lang string, source string",
+    )
+    spec = FieldSpec(field="text", source="text")
+    pl = QueryPipeline(text_spec=spec, text_combinator="any")
+    eng = PerlinEngine.build(spark, docs, [spec], pipeline=pl, n_shards=2)
+    # full bucket set (15 (lang, source) combos) via keyset pages of 4
+    pages, after = [], None
+    while True:
+        page = eng.facet_composite("alpha", by=["lang", "source"],
+                                   size=4, after=after).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["lang"], page[-1]["source"])
+    got = [(r["lang"], r["source"], r["n_docs"]) for r in pages]
+    one_shot = [(r["lang"], r["source"], r["n_docs"])
+                for r in eng.facet_composite("alpha", by=["lang", "source"],
+                                             size=1000).collect()]
+    assert got == one_shot and len(got) == 15
+    assert got == sorted(got)                      # key-ascending
+    assert all(n == 2 for _, _, n in got)          # 30 docs / 15 buckets
+    assert ("zz", "zz", 1) not in got              # non-matching doc excluded
+    # single-key form + guards
+    langs = [(r["lang"], r["n_docs"])
+             for r in eng.facet_composite("alpha", by="lang",
+                                          size=10).collect()]
+    assert langs == [("l0", 10), ("l1", 10), ("l2", 10)]
+    with pytest.raises(ValueError, match="after has"):
+        eng.facet_composite("alpha", by="lang", after=("a", "b"))
+    with pytest.raises(KeyError, match="no stored column"):
+        eng.facet_composite("alpha", by="nope")
+    with pytest.raises(ValueError, match="at least one key"):
+        eng.facet_composite("alpha", by=[])

@@ -1488,10 +1488,11 @@ class PerlinEngine:
         ``after`` is a tuple matching ``by``; the next page is every
         bucket with key lexicographically GREATER than it — the same
         keyset-pagination shape as :meth:`search` ``after=``.  The
-        predicate sits on the aggregate OUTPUT (bucket keys), but
-        Catalyst pushes single-column prefixes below the aggregate into
-        the docs scan, so deep pages also prune input under a
-        key-clustered layout."""
+        predicate references only grouping columns, so Catalyst pushes
+        the WHOLE OR-of-AND-prefixes clause below the aggregate into the
+        docs parquet scan (``DataFilters`` on the FileScan — pinned by
+        ``test_facet_composite_after_key_reaches_scan``), so deep pages
+        also prune input row-groups under a key-clustered layout."""
         keys = [by] if isinstance(by, str) else list(by)
         if not keys:
             raise ValueError("facet_composite needs at least one key column")

@@ -1473,3 +1473,25 @@ def test_facet_composite_pages_cover_all_buckets(spark):
         eng.facet_composite("alpha", by="nope")
     with pytest.raises(ValueError, match="at least one key"):
         eng.facet_composite("alpha", by=[])
+
+
+def test_facet_composite_after_key_reaches_scan(spark):
+    """The after-key predicate references only grouping columns, so
+    Catalyst pushes the whole OR-of-AND-prefixes clause below the
+    aggregate into the docs parquet scan — deep pages prune input, not
+    just output."""
+    from perlin_spark import FieldSpec, PerlinEngine, QueryPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spec = FieldSpec(field="text", source="text")
+    eng = PerlinEngine.build(
+        spark, docs, [spec], pipeline=QueryPipeline(text_spec=spec),
+        n_shards=2,
+    )
+    df = eng.facet_composite("merge", by=["lang", "source"], size=3,
+                             after=("de", "src11"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "lang" in l and "DataFilters" in l)
+    assert "src11" in scan          # the after tuple reached the scan
+    assert "TakeOrderedAndProject" in plan

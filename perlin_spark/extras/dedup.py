@@ -66,8 +66,13 @@ def _tokens(col: str = "text"):
 
 
 def shingles_df(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) — distinct k-token shingles per document."""
-    toks = _tokens()
+    """(doc_id, shingle) — distinct k-token shingles per document.
+
+    The token array is projected ONCE before the shingle transform: the
+    projection boundary stops Catalyst inlining the split+lower+filter
+    tree into the transform's per-element lambda, where it would
+    re-tokenize the document once per shingle (O(tokens^2) per doc)."""
+    toks = F.col("toks")
     n = F.size(toks)
     sh = F.when(
         n >= k,
@@ -77,7 +82,8 @@ def shingles_df(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return (
-        documents.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        documents.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -247,21 +253,30 @@ BAND_KEY = ["band"] + [f"b{r}" for r in range(ROWS_PER_BAND)]
 def band_table(sig: DataFrame) -> DataFrame:
     """Long-format LSH band table (band, b0..b{rows-1}, doc_id) from a
     signature frame — the join key of every LSH candidate step, and the
-    at-rest schema :func:`write_minhash_bands` persists."""
-    bands = []
-    for j in range(BANDS):
-        cols = [f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(j).alias("band"),
-                *[F.col(c).alias(f"b{r}") for r, c in enumerate(cols)],
-            )
+    at-rest schema :func:`write_minhash_bands` persists.
+
+    One ``explode`` over a per-row struct array instead of a BANDS-way
+    union: the union form repeated the signature-aggregation subtree once
+    per band per join side (the r6 plan audit measured the 16-min-agg
+    over the shingle table executing 8x inside the LSH self-join), while
+    the explode evaluates it exactly once per side."""
+    structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            *[
+                F.col(f"s{j * ROWS_PER_BAND + r}").alias(f"b{r}")
+                for r in range(ROWS_PER_BAND)
+            ],
         )
-    out = bands[0]
-    for extra in bands[1:]:
-        out = out.unionByName(extra)
-    return out
+        for j in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("_band")
+    ).select(
+        "doc_id",
+        F.col("_band.band").alias("band"),
+        *[F.col(f"_band.b{r}").alias(f"b{r}") for r in range(ROWS_PER_BAND)],
+    )
 
 
 def _minhash_lsh_rep_pairs(
@@ -275,7 +290,13 @@ def _minhash_lsh_rep_pairs(
     # cache — the candidates-only verify, not the cache, is the
     # load-bearing shape.)
     sh = _persist(shingles_df(documents, k))
-    sig = minhash_signatures(sh)
+    # the signature frame is the OTHER reusable LSH artifact (it is what
+    # write_minhash_bands materializes at rest): persisting it keeps the
+    # 16-min-aggregate from re-running once per side of the band
+    # self-join below (exchange reuse does not fire across the two
+    # aliased sides; measured 2.2 s -> 0.34 s for the candidate join at
+    # sf1.0).  Same tracked-cache lifecycle as the shingle table.
+    sig = _persist(minhash_signatures(sh))
     bucketed = band_table(sig)
     key = BAND_KEY
     if bucket_cap is not None:
@@ -496,49 +517,67 @@ def dedup_components(
     shuffle volume O(|edges|); no driver-side graph, no recursion depth
     tied to cluster SIZE (a million-doc boilerplate cluster with a
     2-hop diameter still converges in ~2 rounds)."""
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    # localCheckpoint (not persist) between rounds: the pointer-jumping
-    # self-join references the round's frame TWICE, so an un-truncated
-    # logical plan would DOUBLE every round (2^rounds analyzer nodes ->
-    # driver OOM around round ~15).  Checkpointing materializes the rows
-    # and cuts the plan, keeping every round's plan constant-size.  On a
+    # both edge orientations from ONE pass over `pairs`: the former
+    # flip-and-union evaluated the (possibly expensive — LSH band join +
+    # exact verify) pair subtree once per side when `pairs` arrives
+    # unmaterialized; the explode duplicates rows, not the plan
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b")).persist()
+    # localCheckpoint (not persist) between rounds: the round's frame is
+    # referenced twice (as the join's label side and via the augmented
+    # pointer edges), so an un-truncated logical plan would DOUBLE every
+    # round (2^rounds analyzer nodes -> driver OOM around round ~15).
+    # Checkpointing materializes the rows and cuts the plan, keeping every
+    # round's plan constant-size.  LAZY (eager=False): the round's
+    # convergence aggregate below is the materializing action, so each
+    # round costs ONE Spark job instead of checkpoint-job + agg-job.  On a
     # real cluster swap for reliable checkpoint()s if executor loss
     # during the (short) loop matters.
     labels = (
         edges.select(F.col("a").alias("doc_id")).distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iters):
-        nbr = (
-            edges.join(
+        # Fused neighbor step (the r6 rewrite of the former neighbor-min
+        # join + label re-join): augment the edge list with each node's
+        # pointer edge (x -> comp[x]), look every endpoint's label up
+        # once, and take
+        #   stepped[x] = min( min_{y in N(x)} comp[y], comp[comp[x]] )
+        # comp[comp[x]] <= comp[x] always (labels start at the node's own
+        # id and only decrease), so this lower-bounds the classic
+        # min(comp[x], neighbor min) step — one join + one aggregation
+        # where the old round used two joins.
+        aug = edges.unionByName(
+            labels.select(F.col("doc_id").alias("a"), F.col("component").alias("b"))
+        )
+        stepped = (
+            aug.join(
                 labels.select(F.col("doc_id").alias("b"),
-                              F.col("component").alias("nbr_comp")),
+                              F.col("component").alias("lb")),
                 "b",
             )
             .groupBy("a")
-            .agg(F.min("nbr_comp").alias("nbr_min"))
+            .agg(F.min("lb").alias("component"))
+            .withColumnRenamed("a", "doc_id")
+            # lazy checkpoint: the pointer-jump self-join below references
+            # this frame twice — both references resolve to ONE persisted
+            # RDD materialized by the round's single action, instead of
+            # computing the subtree once per side
+            .localCheckpoint(eager=False)
         )
-        # (not checkpointed: the self-join doubles THIS round's plan only
-        # — the end-of-round checkpoint below truncates before the next
-        # round, so the per-round plan stays constant-size)
-        stepped = labels.join(
-            nbr.withColumnRenamed("a", "doc_id"), "doc_id", "left"
-        ).select(
-            "doc_id",
-            F.least(
-                "component", F.coalesce("nbr_min", "component")
-            ).alias("component"),
-        )
-        # pointer jumping: comp[x] <- min(comp[x], comp[comp[x]]).  A
-        # label is always some graph node's doc_id, so the self-join
-        # resolves; combined with the one-hop neighbor step this halves
-        # the effective diameter per round — chains converge in O(log d)
-        # rounds instead of d (a 1000-link chain: ~10 rounds, not 1000)
+        # pointer jumping on the UPDATED labels:
+        # comp'[x] = min(stepped[x], stepped[stepped[x]]) — halves the
+        # effective diameter per round (chains converge in O(log d)
+        # rounds); jumping on the fresh values, not the previous round's,
+        # is what keeps the round count logarithmic
         parents = stepped.select(
             F.col("doc_id").alias("comp_key"), F.col("component").alias("pcomp")
         )
@@ -552,7 +591,7 @@ def dedup_components(
                     "component"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease -> fixed point
@@ -761,7 +800,10 @@ def positional_kgrams(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     docs = documents.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= k
     )
-    return docs.select(
+    # second projection boundary: the filter above references `toks`, and
+    # without re-projecting, the gram transform's lambda would get the
+    # whole tokenizer tree inlined per element (O(tokens^2) per doc)
+    return docs.select("doc_id", "toks").select(
         "doc_id",
         F.posexplode(
             F.transform(

@@ -33,14 +33,27 @@ def _tokens(col: str = "text"):
     return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
 
 
+def _toks_frame(documents: DataFrame, *keep: str) -> DataFrame:
+    """Project the token array ONCE before any expression that references
+    it repeatedly.  Without this projection boundary Catalyst inlines the
+    split+lower+filter tree into every consumer — including the
+    PER-ELEMENT lambda of the gram-building ``transform``, where it
+    re-tokenizes the document once per gram (O(tokens^2) per doc, the
+    r6 plan audit's biggest finding).  ``CollapseProject`` keeps the
+    boundary because the aliased expression is non-cheap and referenced
+    more than once."""
+    cols = keep or ("doc_id",)
+    return documents.select(*cols, _tokens().alias("toks"))
+
+
 def quality_stats(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars, uniq_ratio_x1e4, stop_ratio_x1e4).
 
     Length/uniqueness/stopword-density heuristics — the standard cheap
     quality gates of a pretraining pipeline."""
-    toks = _tokens()
+    toks = F.col("toks")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS))))
-    return documents.select(
+    return _toks_frame(documents, "doc_id", "text").select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
@@ -59,7 +72,7 @@ def langid(documents: DataFrame) -> DataFrame:
     Deterministic argmax: languages compared in sorted key order, strict
     greater-than wins (so equal scores keep the earlier language only when
     it scored > 0 and later ones don't beat it; all-zero -> 'und')."""
-    toks = _tokens()
+    toks = F.col("toks")
 
     def marker_hits(markers):
         # NB: a 2-arg lambda would make F.filter pass (element, index)
@@ -72,7 +85,7 @@ def langid(documents: DataFrame) -> DataFrame:
         s = scores[lang]
         best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(s > best_score, s).otherwise(best_score)
-    return documents.select("doc_id", best_lang.alias("pred_lang"))
+    return _toks_frame(documents).select("doc_id", best_lang.alias("pred_lang"))
 
 
 def subword_counts(documents: DataFrame) -> DataFrame:
@@ -90,7 +103,7 @@ def fingerprint(documents: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
     """(doc_id, fingerprint) — min-hash-of-shingles document fingerprint
     (winnowing-style 'rolling hash, keep the minimum'); md5-derived 60-bit
     ints keep BIGINT arithmetic identical across engines."""
-    toks = _tokens()
+    toks = F.col("toks")
     n = F.size(toks)
     sh = F.when(
         n >= k,
@@ -102,7 +115,9 @@ def fingerprint(documents: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
     hashes = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
-    return documents.select("doc_id", F.array_min(hashes).alias("fingerprint"))
+    return _toks_frame(documents).select(
+        "doc_id", F.array_min(hashes).alias("fingerprint")
+    )
 
 
 #: default quality gates for filter_corpus — part of the operator
@@ -204,14 +219,14 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     aggregation — two shuffles keyed by doc, linear in token count, no
     per-doc quadratic array work, so the plan is the same at 100 TB.
     Docs too short to have any n-gram keep their row with 0 fractions."""
-    toks = _tokens()
+    toks = F.col("toks")
     tagged = F.concat(
         F.transform(_grams(toks, REP_TOP_N),
                     lambda g: F.struct(F.lit(REP_TOP_N).alias("n"), g.alias("g"))),
         F.transform(_grams(toks, REP_DUP_N),
                     lambda g: F.struct(F.lit(REP_DUP_N).alias("n"), g.alias("g"))),
     )
-    ex = documents.select("doc_id", F.explode(tagged).alias("t")).select(
+    ex = _toks_frame(documents).select("doc_id", F.explode(tagged).alias("t")).select(
         "doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g")
     )
     cnt = ex.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -264,11 +279,13 @@ DECON_K = 8
 def _decon_grams(documents: DataFrame, k: int) -> DataFrame:
     """(doc_id, g) — distinct k-token grams per doc (whole doc when < k),
     the contamination matching unit."""
-    toks = _tokens()
+    toks = F.col("toks")
     g = F.when(
         F.size(toks) >= k, _grams(toks, k)
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return documents.select("doc_id", F.explode(F.array_distinct(g)).alias("g"))
+    return _toks_frame(documents).select(
+        "doc_id", F.explode(F.array_distinct(g)).alias("g")
+    )
 
 
 def contamination_hits(

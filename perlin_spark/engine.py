@@ -1764,9 +1764,14 @@ class PerlinEngine:
         pl = pipeline or self.pipeline
         spec = pl.text_spec
         hits = self.search(query, k=None, filters=filters, pipeline=pipeline)
+        # _analyzed_pairs emits each matching doc's terms deduplicated
+        # inside its own Arrow batch, so the pairs are already globally
+        # distinct — a plain row count per term IS the foreground df
+        # (r6: drops the former global distinct exchange + two-phase
+        # countDistinct over the re-analysis output)
         pairs = self._analyzed_pairs(hits.select("doc_id"), spec)
         fg = pairs.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("fg_df")
+            F.count(F.lit(1)).alias("fg_df")
         )
         n_fg = hits.agg(F.count(F.lit(1)).alias("n_fg"))
         bg = self.index.vocabulary.filter(F.col("field") == spec.field).select(
@@ -1794,47 +1799,42 @@ class PerlinEngine:
         """DISTINCT (doc_id, term) pairs of the given docs re-analyzed
         through ``spec`` — the candidates-only re-analysis primitive shared
         by significant_terms (and the moral core of snippets): an Arrow
-        batch pass over exactly the joined rows, never the corpus."""
+        batch pass over exactly the joined rows, never the corpus.  Each
+        doc's pairs are deduplicated inside its own batch and a doc never
+        spans batches, so the output is globally distinct without a
+        distinct exchange."""
         src = spec.source
         joined = doc_ids.join(self.index.docs.select("doc_id", src), "doc_id")
-        field, tokenizer = spec.field, spec.tokenizer
+        field = spec.field
 
         def gen(batches):
-            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
 
-            from .analysis import apply_field_pipeline, tokenize
+            from .analysis import analyze_record_batch
 
-            for pdf in batches:
-                if pdf.empty:
-                    yield pd.DataFrame(
-                        {"doc_id": pd.Series([], dtype="int64"),
-                         "term": pd.Series([], dtype="object")}
-                    )
+            for batch in batches:
+                if len(batch) == 0:
                     continue
-                pdf = pdf.reset_index(drop=True)
-                toks = tokenize(pdf[src], tokenizer)
-                frames = []
-                for fname, ts in apply_field_pipeline(toks, spec):
-                    if fname == field and len(ts):
-                        frames.append(
-                            pd.DataFrame(
-                                {"doc_id": pdf["doc_id"].iloc[
-                                    ts.index.get_level_values(0)
-                                ].values,
-                                 "term": ts.values}
-                            )
-                        )
-                if frames:
-                    yield pd.concat(frames).drop_duplicates()
-                else:
-                    yield pd.DataFrame(
-                        {"doc_id": pd.Series([], dtype="int64"),
-                         "term": pd.Series([], dtype="object")}
+                ids = batch.column("doc_id")
+                # the analyzer's tf rows are one row per (doc, term) —
+                # already the distinct pairs, no pandas round-trip
+                for fname, doc_pos, tcodes, term_dict, _tfs in (
+                    analyze_record_batch(batch, [spec])
+                ):
+                    if fname != field or not len(tcodes):
+                        continue
+                    yield _pa.RecordBatch.from_arrays(
+                        [
+                            ids.take(_pa.array(doc_pos)),
+                            _pc.take(term_dict, _pa.array(tcodes)),
+                        ],
+                        names=["doc_id", "term"],
                     )
 
-        return joined.mapInPandas(
+        return joined.mapInArrow(
             gen, schema="doc_id long, term string"
-        ).distinct()
+        )
 
     #: snippet context half-width (tokens each side) — operator contract
     SNIPPET_WINDOW = 3

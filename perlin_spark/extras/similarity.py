@@ -39,13 +39,54 @@ def _norm(a):
     )
 
 
+def _cos_col(query_vec: list[float], vectorized: bool):
+    """Cosine-vs-query column for an ``embedding`` array column.
+
+    ``vectorized=True`` evaluates whole Arrow batches in numpy with the
+    SAME left-fold accumulation order per dimension as the SQL
+    ``aggregate`` fold, so every double is bit-identical to the
+    higher-order-function form (pinned by
+    ``tests/test_similarity.py::test_cosine_vectorized_equals_hof``) —
+    use it for full-table scans (guide §4.2); the interpreted HOF form
+    stays for tiny shortlist reranks where a Python stage would cost
+    more than it saves."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(np.sum(q * q)))
+    if not vectorized:
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        return _dot(F.col("embedding"), qcol) / (
+            _norm(F.col("embedding")) * F.lit(qn)
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(query_vec)
+
+    @pandas_udf("double")
+    def cosf(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="float64")
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        n = X.shape[0]
+        dot = np.zeros(n)
+        nrm = np.zeros(n)
+        for j in range(dim):  # exact left-fold order, vectorized over rows
+            xj = X[:, j]
+            dot += xj * q[j]
+            nrm += xj * xj
+        return pd.Series(dot / (np.sqrt(nrm) * qn))
+
+    return cosf(F.col("embedding"))
+
+
 def cosine_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10, exclude_id: int | None = None
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Brute-force cosine top-k: (vec_id, cos_x1e4), best first."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
-    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * F.lit(qn))
+    cos = _cos_col(query_vec, vectorized)
     out = embeddings.select("vec_id", cos.alias("cos"))
     if exclude_id is not None:
         out = out.filter(F.col("vec_id") != exclude_id)
@@ -121,7 +162,10 @@ def lsh_cosine_topk(
     probes = probe_buckets(query_vec, n_planes, seed, probe_hamming)
     bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(dim, n_planes, seed))
     cands = bucketed.filter(F.col("bucket").isin(probes))
-    return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id)
+    # pruned candidate scan: interpreted fold (a Python-stage round trip
+    # costs more than it saves at probe-set sizes; see _cos_col)
+    return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id,
+                       vectorized=False)
 
 
 def write_lsh_buckets(
@@ -152,7 +196,8 @@ def lsh_topk_from_buckets(
     the parquet scan to the probed partitions."""
     probes = probe_buckets(query_vec, n_planes, seed, probe_hamming)
     table = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
-    return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id)
+    return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id,
+                       vectorized=False)
 
 # --- embedding-cosine near-duplicate pairs (dedup over an embedding col) --
 
@@ -392,7 +437,8 @@ def ivf_topk(
     cands = embeddings.withColumn("cell", assign(F.col("embedding"))).filter(
         F.col("cell").isin(probes)
     )
-    return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id)
+    return cosine_topk(cands, query_vec, k=k, exclude_id=exclude_id,
+                       vectorized=False)
 
 
 def write_ivf_cells(
@@ -424,9 +470,25 @@ def write_ivf_cells(
     return cents
 
 
+def _read_side_table(spark, path: str) -> list[dict]:
+    """Rows of a TINY index side table (_centroids/_codebooks/meta) —
+    read driver-side with pyarrow when the path is plain-filesystem
+    reachable, falling back to a Spark read otherwise.  These tables are
+    index METADATA (a few KB by construction); a serving process should
+    open them without scheduling a cluster job — each cold-reopen query
+    was paying one ~100 ms Spark job per side table just to fetch them
+    (r6 measurement)."""
+    try:
+        import pyarrow.parquet as _pq
+
+        return _pq.read_table(path).to_pylist()
+    except Exception:
+        return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
 def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
     """Load the centroid side table written by :func:`write_ivf_cells`."""
-    rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    rows = _read_side_table(spark, path.rstrip("/") + "/_centroids")
     return sorted((int(r["centroid_id"]), list(r["centroid"])) for r in rows)
 
 
@@ -446,7 +508,9 @@ def ivf_topk_from_cells(
         centroids = read_ivf_centroids(spark, path)
     probes = ivf_probe_cells(query_vec, centroids, nprobe)
     table = spark.read.parquet(path).filter(F.col("cell").isin(probes))
-    return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id)
+    # pruned-cell scan: interpreted fold (see _cos_col rationale)
+    return cosine_topk(table, query_vec, k=k, exclude_id=exclude_id,
+                       vectorized=False)
 
 
 def ivf_kmeans_centroids(
@@ -659,8 +723,11 @@ def pq_topk_from_codes(
             )
         )
     shortlist = scored.orderBy(F.desc("adc"), F.asc("vec_id")).limit(rerank)
+    # rerank-sized input (tens of rows): the interpreted fold beats a
+    # Python-stage round trip there, so vectorized=False
     return cosine_topk(
-        shortlist.select("vec_id", "embedding"), query_vec, k=k, exclude_id=exclude_id
+        shortlist.select("vec_id", "embedding"), query_vec, k=k,
+        exclude_id=exclude_id, vectorized=False,
     )
 
 
@@ -688,7 +755,7 @@ def write_pq_codes(
 
 def read_pq_codebooks(spark, path: str) -> np.ndarray:
     """Load the codebook side table written by :func:`write_pq_codes`."""
-    rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
+    rows = _read_side_table(spark, path.rstrip("/") + "/_codebooks")
     m = 1 + max(int(r["m"]) for r in rows)
     ks = 1 + max(int(r["code"]) for r in rows)
     dsub = len(rows[0]["centroid"])
@@ -999,7 +1066,7 @@ def sq_topk_from_codes(
     """Serve from the written layout: scan ONLY the codes table for the
     candidate pass (narrow int8 columns), then join the full vectors for
     the k*rerank survivors and rerank exactly."""
-    scale = float(spark.read.parquet(path + "/meta").collect()[0]["scale"])
+    scale = float(_read_side_table(spark, path + "/meta")[0]["scale"])
     codes = spark.read.parquet(path + "/codes")
     qcodes = sq_quantize_query(query_vec, scale)
     qc = F.array(*[F.lit(c) for c in qcodes])

@@ -42,34 +42,49 @@ def analyzed_term_pairs(
     through the build analyzer (tokenizer + filters of ``spec``) — one
     Arrow batch pass, no collect.  The set-membership primitive shared by
     percolation's both sides."""
+    return _term_pairs(rows, spec, id_col).distinct()
+
+
+def _term_pairs(rows: DataFrame, spec: FieldSpec, id_col: str) -> DataFrame:
+    """``(id_col, term)`` pairs, distinct PER INPUT ROW only: every row's
+    terms are deduplicated inside its Arrow batch, so when ``id_col`` is
+    unique in ``rows`` (the percolator's contract for both sides) the
+    output is already globally distinct and the extra exchange that
+    :func:`analyzed_term_pairs` pays for the general case is unnecessary
+    — :func:`percolate` consumes this form directly (r6: one full
+    (doc, term) shuffle removed from the alerting hot path)."""
     src = spec.source
+    field = spec.field
 
     def gen(batches):
-        import pandas as pd
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
 
-        from .analysis import analyze_pandas
+        from .analysis import analyze_record_batch
 
-        for pdf in batches:
-            if pdf.empty:
-                yield pd.DataFrame(
-                    {id_col: pd.Series([], dtype="int64"),
-                     "term": pd.Series([], dtype="object")}
-                )
+        for batch in batches:
+            if len(batch) == 0:
                 continue
-            pdf = pdf.reset_index(drop=True)
-            tf = analyze_pandas(
-                pdf[[id_col, src]].rename(columns={id_col: "doc_id"}),
-                [spec],
-                doc_id_col="doc_id",
-            )
-            tf = tf[tf["field"] == spec.field]
-            yield pd.DataFrame(
-                {id_col: tf["doc_id"].astype("int64"), "term": tf["term"]}
-            ).drop_duplicates()
+            ids = batch.column(id_col)
+            # the analyzer's tf rows are exactly one row per (doc, term)
+            # — the per-row distinct pairs — so no pandas round-trip and
+            # no drop_duplicates is needed
+            for fname, doc_pos, tcodes, term_dict, _tfs in analyze_record_batch(
+                batch, [spec], doc_id_col=id_col
+            ):
+                if fname != field or not len(tcodes):
+                    continue
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(_pa.array(doc_pos)),
+                        _pc.take(term_dict, _pa.array(tcodes)),
+                    ],
+                    names=[id_col, "term"],
+                )
 
-    return rows.select(id_col, src).mapInPandas(
+    return rows.select(id_col, src).mapInArrow(
         gen, schema=f"{id_col} long, term string"
-    ).distinct()
+    )
 
 
 def percolate(
@@ -97,10 +112,18 @@ def percolate(
     A query whose text analyzes to zero terms matches nothing (it has no
     term to witness; ES's match-all percolation is a different register —
     add a catch-all term upstream if that's wanted).  Deterministic
-    ordering: doc_id, query_id."""
+    ordering: doc_id, query_id.
+
+    Both sides' ``(id, term)`` pairs come out of the analyzer already
+    distinct per id (each row is analyzed whole inside one Arrow batch),
+    so the matcher counts plain rows — no distinct exchange and no
+    two-phase countDistinct on the document stream (r6: the former plan
+    paid a full (doc, term) shuffle plus a distinct-aggregate expand
+    before the broadcast join; this one joins straight out of the
+    analyzer and shuffles only the per-(doc, query) counts)."""
     if min_match is not None and min_match < 1:
         raise ValueError("min_match must be >= 1 (or None for ALL terms)")
-    q_pairs = analyzed_term_pairs(
+    q_pairs = _term_pairs(
         queries.select(
             F.col("query_id").cast("long").alias("query_id"),
             F.col(query_col).alias(spec.source),
@@ -109,14 +132,14 @@ def percolate(
         id_col="query_id",
     )
     q_sizes = q_pairs.groupBy("query_id").agg(
-        F.countDistinct("term").alias("n_terms")
+        F.count(F.lit(1)).alias("n_terms")
     )
-    d_pairs = analyzed_term_pairs(docs, spec, id_col=id_col)
+    d_pairs = _term_pairs(docs, spec, id_col=id_col)
     q_side = F.broadcast(q_pairs) if broadcast_queries else q_pairs
     matched = (
         d_pairs.join(q_side, "term")
         .groupBy(id_col, "query_id")
-        .agg(F.countDistinct("term").alias("n_matched"))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
     )
     sz = F.broadcast(q_sizes) if broadcast_queries else q_sizes
     out = matched.join(sz, "query_id")

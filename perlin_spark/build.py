@@ -1113,6 +1113,22 @@ def reshard_index(
                 fid = fid_of[fld]
                 raw = bytes(blob)
                 docs, tfs = codec.decode_postings(raw)
+                if int(docs[-1]) >= id_space:
+                    # multi-epoch load_index indexes shard later epochs by
+                    # (doc_id - min_doc_id) with their own chunk, so doc
+                    # ids can exceed epoch-0's chunk * n_shards; silently
+                    # proceeding would emit shard ids >= the requested
+                    # n_shards and break the per-shard memory bound the
+                    # operation exists to provide.  Checked here (free —
+                    # the blob is already decoded), not with an extra
+                    # driver-side max() job on the reshard latency path.
+                    raise ValueError(
+                        f"doc_id {int(docs[-1])} >= id space {id_space} "
+                        "(chunk * n_shards): this index's ids do not fit "
+                        "epoch-0 geometry (multi-epoch offsets?) — rebuild "
+                        "with build_index at the new shard count instead "
+                        "of resharding"
+                    )
                 lo_s = int(docs[0]) // new_chunk
                 hi_s = int(docs[-1]) // new_chunk
                 if lo_s == hi_s:

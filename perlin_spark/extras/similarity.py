@@ -958,21 +958,33 @@ SQ_RERANK = 4
 
 def sq_scale(embeddings: DataFrame, col: str = "embedding") -> float:
     """The global quantization scale: max normalized component magnitude
-    over the whole table, divided by 127.  One Spark aggregate."""
+    over the whole table, divided by 127.  One Spark aggregate.
+
+    Zero-norm rows are guarded (``greatest(nrm, 1e-30)``): without it a
+    single all-zero embedding makes its normalized component NaN, and
+    because the scale is a global max aggregate, one bad row would poison
+    the quantizer for the ENTIRE table (r5 ADVICE).  A zero row's
+    guarded contribution is 0/1e-30 = 0 — it never sets the max — and
+    any nonzero row's norm is far above the floor, so real inputs are
+    bit-unchanged."""
     comp_max = F.aggregate(
         F.transform(F.col(col), lambda x: F.abs(x.cast("double"))),
         F.lit(0.0),
         lambda acc, v: F.greatest(acc, v),
     )
-    row = embeddings.agg(F.max(comp_max / _norm(F.col(col))).alias("m")).collect()[0]
+    nrm = F.greatest(_norm(F.col(col)), F.lit(1e-30))
+    row = embeddings.agg(F.max(comp_max / nrm).alias("m")).collect()[0]
     return float(row["m"]) / SQ_MAXQ
 
 
 def sq_codes_col(scale: float, col: str = "embedding"):
     """int8 code array column under the pinned quantizer (codes kept as
     int — parquet stores them narrow; arithmetic back in double is exact
-    for any |code| <= 127 and dim <= 2^38)."""
-    nrm = _norm(F.col(col))
+    for any |code| <= 127 and dim <= 2^38).  Zero-norm rows quantize to
+    all-zero codes via the same ``greatest(nrm, 1e-30)`` guard as
+    :func:`sq_scale` instead of NaN garbage (r5 ADVICE); nonzero rows
+    are bit-unchanged."""
+    nrm = F.greatest(_norm(F.col(col)), F.lit(1e-30))
     return F.transform(
         F.col(col),
         lambda x: F.greatest(

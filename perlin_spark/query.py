@@ -165,6 +165,21 @@ class _ShardScorer:
         self.ops = ops
         self.n_groups = n_groups
         self.n_must = n_must
+        if sim == "lmdir":
+            # pc defaults to 0.0 at lookup sites; letting a term WITH
+            # postings through at pc<=0 would hit lmdir_contrib's 1e-300
+            # floor (a bogus ~log(tf)+690 contribution) while
+            # _impact_bound simultaneously returns 0 — pruned and
+            # exhaustive paths would silently diverge.  Every legitimate
+            # caller runs _attach_pc first; fail loudly if a future path
+            # forgets it (r5 ADVICE).
+            for op in ops:
+                if op.get("df", 0) > 0 and op.get("pc", 0.0) <= 0.0:
+                    raise ValueError(
+                        f"lmdir scoring needs pc > 0 for term "
+                        f"{op.get('field')}:{op.get('term')!r} with df="
+                        f"{op.get('df')} — was _attach_pc skipped?"
+                    )
         #: search_after cursor (score, doc_id): keep only docs STRICTLY
         #: after it in (score desc, doc_id asc) order.  Applied to FINAL
         #: scores only (a partial score underestimates, so masking early

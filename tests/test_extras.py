@@ -1379,3 +1379,46 @@ def test_date_histogram_calendar_boundaries(spark):
     assert wk == {"2024-01-29 00:00:00", "2024-02-05 00:00:00"}
     with _pytest.raises(ValueError, match="unit"):
         E.date_histogram(ev, "fortnight")
+
+
+def test_date_histogram_epoch_math_equals_date_trunc(spark):
+    """r6 pin: the fixed-width epoch-arithmetic buckets (hour/day/week)
+    and the format-after-aggregation rewrite must reproduce the naive
+    per-row date_trunc+date_format formulation exactly, including
+    pre-1970 timestamps (floor division toward -inf)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from perlin_spark.extras import events as E
+    from perlin_spark.extras.events import _epoch_s
+
+    rng_rows = []
+    base = dt.datetime(1969, 11, 30, 7, 13, 21)
+    for i in range(300):
+        ts = base + dt.timedelta(hours=17 * i, minutes=(i * 37) % 60)
+        rng_rows.append((i, ts, i % 7, "t" + str(i % 3), float(i) / 3.0, "{}"))
+    ev = spark.createDataFrame(
+        rng_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    for unit in E.DATE_HISTOGRAM_UNITS:
+        ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_interval(
+            secs=_epoch_s(ev).cast("double")
+        )
+        bucket = F.date_format(F.date_trunc(unit, ntz), "yyyy-MM-dd HH:mm:ss")
+        naive = (
+            ev.groupBy(bucket.alias("bucket"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.floor(F.sum("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("sum_value_x100"),
+            )
+            .orderBy("bucket", "event_type")
+            .collect()
+        )
+        got = E.date_histogram(ev, unit).collect()
+        assert got == naive, unit

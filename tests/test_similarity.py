@@ -47,3 +47,30 @@ def test_side_table_reader_matches_spark(spark, emb, tmp_path):
         for r in spark.read.parquet(path + "/_centroids").collect()
     )
     assert got == spark_rows
+
+
+def test_sq_zero_norm_row_does_not_poison_scale(spark):
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scale = S.sq_scale(df)
+    assert np.isfinite(scale) and scale > 0
+    clean = spark.createDataFrame(rows[1:], "vec_id long, embedding array<double>")
+    assert scale == S.sq_scale(clean)  # the zero row contributes nothing
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in df.select(
+            "vec_id", S.sq_codes_col(scale).alias("codes")
+        ).collect()
+    }
+    assert codes[0] == [0] * 8  # zero row -> all-zero codes, not NaN clamp
+
+
+def test_lmdir_scorer_requires_pc(spark):
+    from perlin_spark.query import _ShardScorer
+
+    ops = [{"field": "text", "term": "x", "df": 3, "idf": 1.0, "weight": 1.0,
+            "role": "group", "group": 0, "comb": "any", "gsize": 1}]
+    with pytest.raises(ValueError, match="_attach_pc"):
+        _ShardScorer(1.2, 0.75, 10, True, ops, 1, 0, sim="lmdir")

@@ -632,7 +632,7 @@ def tokenize_corpus(
     fid_of = {f: i for i, f in enumerate(fields)}
 
     def analyze(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
+        for batch in _coalesce_batches(batches):
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             n_rows = len(batch)
             dl_acc: dict[int, np.ndarray] = {}
@@ -683,6 +683,40 @@ PARTIAL_SCHEMA = StructType(
         StructField("blob", BinaryType()),
     ]
 )
+
+
+#: analyzer working-set target: incoming Arrow batches are coalesced to
+#: roughly this many rows before analysis.  Spark hands the analyzer
+#: ``arrow.maxRecordsPerBatch``-sized batches (1-10k rows); per-batch
+#: fixed costs (dictionary encode, unique-term routing, np.unique, one
+#: partial posting row per (term, shard) per batch) then dominate and the
+#: partials fragment.  Coalescing amortizes those costs and emits fewer,
+#: larger partials into the term-hash shuffle — while keeping per-task
+#: memory bounded (this is rows, not bytes; ~16 MB of 1 KB docs).
+ANALYZE_COALESCE_ROWS = 16384
+
+
+def _coalesce_batches(
+    batches: Iterator[pa.RecordBatch], target: int | None = None
+) -> Iterator[pa.RecordBatch]:
+    """Re-chunk an Arrow batch stream to >= ``target`` rows per batch
+    (order-preserving; the tail batch may be smaller)."""
+    if target is None:
+        target = ANALYZE_COALESCE_ROWS
+    buf: list[pa.RecordBatch] = []
+    rows = 0
+    for b in batches:
+        if len(b) == 0:
+            continue
+        buf.append(b)
+        rows += len(b)
+        if rows >= target:
+            tbl = pa.Table.from_batches(buf).combine_chunks()
+            yield from tbl.to_batches(max_chunksize=tbl.num_rows)
+            buf, rows = [], 0
+    if buf:
+        tbl = pa.Table.from_batches(buf).combine_chunks()
+        yield from tbl.to_batches(max_chunksize=tbl.num_rows)
 
 
 def tokenize_corpus_partial(
@@ -748,7 +782,7 @@ def tokenize_corpus_partial(
         )
 
     def analyze(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
+        for batch in _coalesce_batches(batches):
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             n_rows = len(batch)
             # doc-sorted partitions (the assign_doc_ids layout) get the

@@ -401,9 +401,9 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = _tokens()
-    t = documents.select(
-        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n")
+    # tokenize once: size() reads the projected array, not a second split
+    t = _toks_frame(documents).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n")
     ).filter(F.col("n") > 0)
     # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
     n_chunks = F.lit(1) + F.ceil(
@@ -461,9 +461,8 @@ def segment_dedup(
     never full segment text, exact-dedup discipline of
     extras/dedup.py:84-101); the rebuild re-keys by doc_id.  No driver
     collect anywhere, no window over the corpus."""
-    toks = _tokens()
-    t = documents.select(
-        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n")
+    t = _toks_frame(documents).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n")
     ).filter(F.col("n") > 0)
     n_segs = F.ceil(F.col("n") / F.lit(seg_tokens)).cast("long")
     segs = (

@@ -125,7 +125,9 @@ def tokenize_corpus_positions(
     fid_of = {f: i for i, f in enumerate(fields)}
 
     def analyze(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
+        from .build import _coalesce_batches
+
+        for batch in _coalesce_batches(batches):
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             for fname, doc_pos, tcodes, term_dict, tfs, pos in (
                 analyze_record_batch_positions(batch, specs)

@@ -308,7 +308,8 @@ def main() -> None:
                 sink(factory())
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            times[name] = round(best, 4)
+            if best is not None:
+                times[name] = round(best, 4)
         else:
             print(f"unknown op {name}", file=sys.stderr)
         spark.sparkContext.setJobDescription(None)

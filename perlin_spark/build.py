@@ -382,15 +382,47 @@ class IndexData:
 
     def stats_map(self) -> dict:
         if self._stats_map is None:
-            self._stats_map = {
-                r["field"]: {
-                    "n_docs": int(r["n_docs"]),
-                    "avgdl": float(r["avgdl"]),
-                    "mindl": int(r["mindl"]),
-                    "total_terms": int(r["total_terms"]),
+            bc = self.dl_broadcast()
+            if bc is not None:
+                # the dl blobs are already collected (and broadcast-cached
+                # for every future query) — decode them driver-side
+                # instead of scheduling the mapInPandas + aggregate job
+                # the stats frame pays (r6: replaces a ~0.35 s Python
+                # stage per build with numpy over a few KB, and pre-warms
+                # dl_broadcast for the first search).  Value-identical to
+                # the frame path: same rows, same double division.
+                acc: dict[str, list[int]] = {}
+                for (field, _shard), blobs in bc.value.items():
+                    for blob in blobs:
+                        _, dls = codec.decode_postings(blob)
+                        a = acc.setdefault(field, [0, 0, None])
+                        a[0] += int(dls.size)
+                        a[1] += int(dls.sum())
+                        mn = int(dls.min()) if dls.size else 0
+                        a[2] = mn if a[2] is None else min(a[2], mn)
+                self._stats_map = {
+                    f: {
+                        "n_docs": n,
+                        # float(total)/float(n), not total/n: replicate
+                        # Spark SQL's cast-to-double-THEN-divide so the
+                        # value is bit-identical to the frame path even
+                        # past 2^53 total tokens
+                        "avgdl": float(total) / float(n) if n else 0.0,
+                        "mindl": int(mn or 0),
+                        "total_terms": total,
+                    }
+                    for f, (n, total, mn) in acc.items()
                 }
-                for r in self.stats.collect()
-            }
+            else:
+                self._stats_map = {
+                    r["field"]: {
+                        "n_docs": int(r["n_docs"]),
+                        "avgdl": float(r["avgdl"]),
+                        "mindl": int(r["mindl"]),
+                        "total_terms": int(r["total_terms"]),
+                    }
+                    for r in self.stats.collect()
+                }
         return self._stats_map
 
     def vocab_for_terms(self, terms_df: DataFrame) -> DataFrame:

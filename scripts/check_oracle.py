@@ -49,9 +49,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -84,7 +86,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(g)} rows match")
     spark.stop()
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+    print(f"\n{n_ran - len(failed)}/{n_ran} ok")
     return 1 if failed else 0
 
 

@@ -1769,11 +1769,23 @@ class PerlinEngine:
         # distinct — a plain row count per term IS the foreground df
         # (r6: drops the former global distinct exchange + two-phase
         # countDistinct over the re-analysis output)
-        pairs = self._analyzed_pairs(hits.select("doc_id"), spec)
+        # LAZY localCheckpoint (the dedup_components pattern): the pairs
+        # frame feeds BOTH aggregations below, and without a
+        # materialization boundary the search job + re-analysis pass
+        # execute once per consumer.  This is a per-invocation
+        # intermediate — recomputed on every call, nothing persists
+        # across runs — so it is plan truncation, not result caching.
+        pairs = self._analyzed_pairs(
+            hits.select("doc_id"), spec
+        ).localCheckpoint(eager=False)
         fg = pairs.groupBy("term").agg(
             F.count(F.lit(1)).alias("fg_df")
         )
-        n_fg = hits.agg(F.count(F.lit(1)).alias("n_fg"))
+        # n_fg = |matching docs|: every hit contains >= 1 group term in
+        # the searched field, so its re-analysis emits >= 1 pair and the
+        # distinct-doc count over `pairs` equals the hit count — this
+        # rides the checkpointed rows instead of re-running the search
+        n_fg = pairs.agg(F.countDistinct("doc_id").alias("n_fg"))
         bg = self.index.vocabulary.filter(F.col("field") == spec.field).select(
             "term", F.col("df").alias("bg_df")
         )

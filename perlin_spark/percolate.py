@@ -45,23 +45,37 @@ def analyzed_term_pairs(
     return _term_pairs(rows, spec, id_col).distinct()
 
 
-def _term_pairs(rows: DataFrame, spec: FieldSpec, id_col: str) -> DataFrame:
+def _term_pairs(
+    rows: DataFrame, spec: FieldSpec, id_col: str,
+    term_filter: frozenset | None = None,
+) -> DataFrame:
     """``(id_col, term)`` pairs, distinct PER INPUT ROW only: every row's
     terms are deduplicated inside its Arrow batch, so when ``id_col`` is
     unique in ``rows`` (the percolator's contract for both sides) the
     output is already globally distinct and the extra exchange that
     :func:`analyzed_term_pairs` pays for the general case is unnecessary
     — :func:`percolate` consumes this form directly (r6: one full
-    (doc, term) shuffle removed from the alerting hot path)."""
+    (doc, term) shuffle removed from the alerting hot path).
+
+    ``term_filter`` (a frozenset of terms, shipped in the closure) drops
+    all other terms INSIDE the Arrow pass, before anything crosses the
+    Python→JVM boundary: the membership test runs once per DISTINCT term
+    of the batch (the analyzer's dictionary), not per (doc, term) row."""
     src = spec.source
     field = spec.field
 
     def gen(batches):
+        import numpy as _np
         import pyarrow as _pa
         import pyarrow.compute as _pc
 
         from .analysis import analyze_record_batch
 
+        flt = (
+            _pa.array(sorted(term_filter), type=_pa.string())
+            if term_filter is not None
+            else None
+        )
         for batch in batches:
             if len(batch) == 0:
                 continue
@@ -74,6 +88,17 @@ def _term_pairs(rows: DataFrame, spec: FieldSpec, id_col: str) -> DataFrame:
             ):
                 if fname != field or not len(tcodes):
                     continue
+                if flt is not None:
+                    # dictionary-level membership: one is_in over the
+                    # batch's unique terms, then a row mask via take
+                    dmask = _np.asarray(
+                        _pc.is_in(term_dict, value_set=flt).fill_null(False)
+                    )
+                    rmask = dmask[_np.asarray(tcodes)]
+                    if not rmask.any():
+                        continue
+                    doc_pos = _np.asarray(doc_pos)[rmask]
+                    tcodes = _np.asarray(tcodes)[rmask]
                 yield _pa.RecordBatch.from_arrays(
                     [
                         ids.take(_pa.array(doc_pos)),
@@ -123,25 +148,78 @@ def percolate(
     analyzer and shuffles only the per-(doc, query) counts)."""
     if min_match is not None and min_match < 1:
         raise ValueError("min_match must be >= 1 (or None for ALL terms)")
-    q_pairs = _term_pairs(
-        queries.select(
+    if broadcast_queries:
+        # the broadcast contract already says the saved-query side is
+        # tiny, so it can be analyzed ON THE DRIVER with the exact same
+        # analyzer (one pyarrow batch through analyze_record_batch — the
+        # semantic source both the index build and the doc side use):
+        # the query-term set then ships in the doc analyzer's closure so
+        # non-query terms never cross the Python→JVM boundary (guide
+        # §2.3 — the join would drop them anyway, but only after paying
+        # Arrow transfer + hash probes for the whole corpus vocabulary),
+        # and the pair/size tables become literal local relations (zero
+        # Spark jobs for the query side; the former plan re-ran its
+        # analysis pass once per broadcast build)
+        import pyarrow as _pa
+
+        from .analysis import analyze_record_batch
+
+        raw = queries.select(
             F.col("query_id").cast("long").alias("query_id"),
-            F.col(query_col).alias(spec.source),
-        ),
-        spec,
-        id_col="query_id",
-    )
-    q_sizes = q_pairs.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_terms")
-    )
-    d_pairs = _term_pairs(docs, spec, id_col=id_col)
-    q_side = F.broadcast(q_pairs) if broadcast_queries else q_pairs
+            F.col(query_col).cast("string").alias(spec.source),
+        ).collect()
+        spark = docs.sparkSession
+        batch = _pa.RecordBatch.from_arrays(
+            [
+                _pa.array([r["query_id"] for r in raw], type=_pa.int64()),
+                _pa.array([r[spec.source] for r in raw], type=_pa.string()),
+            ],
+            names=["query_id", spec.source],
+        )
+        qrows: list[tuple[int, str]] = []
+        if len(batch):
+            for fname, doc_pos, tcodes, term_dict, _tfs in analyze_record_batch(
+                batch, [spec], doc_id_col="query_id"
+            ):
+                if fname != spec.field or not len(tcodes):
+                    continue
+                qids = batch.column("query_id").take(_pa.array(doc_pos)).to_pylist()
+                terms = term_dict.take(_pa.array(tcodes)).to_pylist()
+                qrows.extend(zip(qids, terms))
+        if not qrows:
+            return spark.createDataFrame(
+                [], f"{id_col} long, query_id long, n_matched long, n_terms long"
+            )
+        term_set = frozenset(t for _, t in qrows)
+        sizes: dict[int, int] = {}
+        for qid, _ in qrows:
+            sizes[qid] = sizes.get(qid, 0) + 1
+        q_side = F.broadcast(
+            spark.createDataFrame(qrows, "query_id long, term string")
+        )
+        sz = F.broadcast(
+            spark.createDataFrame(
+                list(sizes.items()), "query_id long, n_terms long"
+            )
+        )
+        d_pairs = _term_pairs(docs, spec, id_col=id_col, term_filter=term_set)
+    else:
+        q_pairs = _term_pairs(
+            queries.select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col(query_col).alias(spec.source),
+            ),
+            spec,
+            id_col="query_id",
+        )
+        q_side = q_pairs
+        sz = q_pairs.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+        d_pairs = _term_pairs(docs, spec, id_col=id_col)
     matched = (
         d_pairs.join(q_side, "term")
         .groupBy(id_col, "query_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    sz = F.broadcast(q_sizes) if broadcast_queries else q_sizes
     out = matched.join(sz, "query_id")
     if min_match is None:
         out = out.filter(F.col("n_matched") == F.col("n_terms"))

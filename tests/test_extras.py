@@ -1422,3 +1422,63 @@ def test_date_histogram_epoch_math_equals_date_trunc(spark):
         )
         got = E.date_histogram(ev, unit).collect()
         assert got == naive, unit
+
+
+def test_verify_pairs_hashed_equals_string(spark):
+    """The r6 hashed-key verify (join on xxhash64(shingle) when the hash
+    is proven collision-free on the corpus) must return exactly the
+    string-join rows — pairs, jaccard values, and the injectivity guard
+    itself — on a corpus with short docs, exact dups, and near-dups."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.shingles_df(docs)
+    assert dedup._xxh_injective_on(sh)
+    ids = docs.select("doc_id")
+    cands = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .sample(0.05, seed=11)
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["jacc_x1e4"])
+        for r in dedup.verify_pairs_exact(cands, sh, sh, 0.05).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jacc_x1e4"])
+        for r in dedup.verify_pairs_exact(cands, sh, sh, 0.05, hashed=True).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no verified pairs; test is vacuous"
+
+
+def test_contamination_hash_prefilter_equals_direct_join(spark):
+    """contamination_hits' r6 hash prefilter (xxhash64 over token-array
+    windows, string verify on candidate docs only) must equal the direct
+    single-pass string-gram join on every doc — including docs shorter
+    than k (whole-doc grams) and empty/whitespace-only texts."""
+    from perlin_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = textstats.deterministic_sample(docs, 0.8, seed=3)
+    ev = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+    edge = spark.createDataFrame(
+        [(90001, "tiny"), (90002, ""), (90003, "   \t "), (90004, "a b c d e")],
+        "doc_id long, text string",
+    )
+    train = train.select("doc_id", "text").unionByName(edge)
+    for k in (3, 8):
+        ev_g = textstats._decon_grams(ev, k).select("g").distinct()
+        want = {
+            (r["doc_id"], r["n_hit_ngrams"])
+            for r in textstats._decon_grams(train, k)
+            .join(F.broadcast(ev_g), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+            .collect()
+        }
+        got = {
+            (r["doc_id"], r["n_hit_ngrams"])
+            for r in textstats.contamination_hits(train, ev, k).collect()
+        }
+        assert got == want, k
+        assert want, "fixture produced no contamination; test is vacuous"

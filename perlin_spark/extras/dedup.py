@@ -297,8 +297,12 @@ def _minhash_lsh_rep_pairs(
     # a long-lived session can release the entry instead of leaking it.
     # (At 100 TB, materialize shingles to parquet instead of a memory
     # cache — the candidates-only verify, not the cache, is the
-    # load-bearing shape.)
-    sh = _persist(shingles_df(documents, k))
+    # load-bearing shape.)  The 8-byte xxhash64 join key the verify uses
+    # is computed ONCE into the cached rows (+8B/row) so neither the
+    # injectivity guard nor the per-call verify re-hashes the strings.
+    sh = _persist(
+        shingles_df(documents, k).withColumn("_k", F.xxhash64("shingle"))
+    )
     # the signature frame is the OTHER reusable LSH artifact (it is what
     # write_minhash_bands materializes at rest): persisting it keeps the
     # 16-min-aggregate from re-running once per side of the band
@@ -354,8 +358,9 @@ def _xxh_injective_on(sh: DataFrame) -> bool:
     for df, ok in _XXH_VERDICTS:
         if sh.sameSemantics(df):
             return ok
+    h = F.col("_k") if "_k" in sh.columns else F.xxhash64("shingle")
     ok = (
-        sh.groupBy(F.xxhash64("shingle").alias("_h"))
+        sh.groupBy(h.alias("_h"))
         .agg((F.min("shingle") == F.max("shingle")).alias("_ok"))
         .filter(~F.col("_ok"))
         .limit(1)
@@ -379,12 +384,16 @@ def verify_pairs_exact(
     instead of the shingle string — pass it ONLY when the hash is known
     collision-free over both sides' shingles (:func:`_xxh_injective_on`);
     shingles are distinct per doc, so per-doc hash sets are then exactly
-    the shingle sets and the intersection counts are identical."""
-    shingle_key = F.xxhash64("shingle").alias("_k") if hashed else F.col(
-        "shingle"
-    ).alias("_k")
-    a = sh_a.select(F.col("doc_id").alias("doc_a"), shingle_key)
-    b = sh_b.select(F.col("doc_id").alias("doc_b"), shingle_key)
+    the shingle sets and the intersection counts are identical.  A
+    precomputed ``_k`` column (the LSH path caches one) is used as-is."""
+
+    def keyed(sh):
+        if not hashed:
+            return F.col("shingle").alias("_k")
+        return (F.col("_k") if "_k" in sh.columns else F.xxhash64("shingle")).alias("_k")
+
+    a = sh_a.select(F.col("doc_id").alias("doc_a"), keyed(sh_a))
+    b = sh_b.select(F.col("doc_id").alias("doc_b"), keyed(sh_b))
     inter = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "_k"])
@@ -587,13 +596,15 @@ def dedup_components(
     # round costs ONE Spark job instead of checkpoint-job + agg-job.  On a
     # real cluster swap for reliable checkpoint()s if executor loss
     # during the (short) loop matters.
-    labels = (
-        edges.select(F.col("a").alias("doc_id")).distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iters):
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    labels = None
+    # round-1 baseline sentinel: a nonempty edge set strictly decreases
+    # the label sum in round 1 (the larger endpoint of any edge shrinks),
+    # and an empty one yields None == None and exits after the free first
+    # round — so no init-sum job is needed to seed the convergence probe
+    prev_sum = None
+    for it in range(max_iters):
         # Fused neighbor step (the r6 rewrite of the former neighbor-min
         # join + label re-join): augment the edge list with each node's
         # pointer edge (x -> comp[x]), look every endpoint's label up
@@ -603,24 +614,41 @@ def dedup_components(
         # id and only decrease), so this lower-bounds the classic
         # min(comp[x], neighbor min) step — one join + one aggregation
         # where the old round used two joins.
-        aug = edges.unionByName(
-            labels.select(F.col("doc_id").alias("a"), F.col("component").alias("b"))
-        )
-        stepped = (
-            aug.join(
-                labels.select(F.col("doc_id").alias("b"),
-                              F.col("component").alias("lb")),
-                "b",
+        if labels is None:
+            # first round, comp = identity: the neighbor-min step needs
+            # no label lookup at all — stepped[x] = min({x} ∪ N(x))
+            # straight off the edge list.  Saves the init-distinct job,
+            # its checkpoint, and the first aug-join pass over the edges
+            # (node coverage is unchanged: both orientations are in
+            # `edges`, so every node appears as `a`).
+            stepped = (
+                edges.groupBy("a")
+                .agg(F.min("b").alias("_nb"))
+                .select(
+                    F.col("a").alias("doc_id"),
+                    F.least("a", "_nb").alias("component"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .groupBy("a")
-            .agg(F.min("lb").alias("component"))
-            .withColumnRenamed("a", "doc_id")
-            # lazy checkpoint: the pointer-jump self-join below references
-            # this frame twice — both references resolve to ONE persisted
-            # RDD materialized by the round's single action, instead of
-            # computing the subtree once per side
-            .localCheckpoint(eager=False)
-        )
+        else:
+            aug = edges.unionByName(
+                labels.select(F.col("doc_id").alias("a"), F.col("component").alias("b"))
+            )
+            stepped = (
+                aug.join(
+                    labels.select(F.col("doc_id").alias("b"),
+                                  F.col("component").alias("lb")),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("lb").alias("component"))
+                .withColumnRenamed("a", "doc_id")
+                # lazy checkpoint: the pointer-jump self-join below references
+                # this frame twice — both references resolve to ONE persisted
+                # RDD materialized by the round's single action, instead of
+                # computing the subtree once per side
+                .localCheckpoint(eager=False)
+            )
         # pointer jumping on the UPDATED labels:
         # comp'[x] = min(stepped[x], stepped[stepped[x]]) — halves the
         # effective diameter per round (chains converge in O(log d)

@@ -1482,3 +1482,18 @@ def test_contamination_hash_prefilter_equals_direct_join(spark):
         }
         assert got == want, k
         assert want, "fixture produced no contamination; test is vacuous"
+
+
+def test_dedup_components_no_pairs_all_singletons(spark):
+    """The fused first round must keep the empty-edge path intact: with
+    no dup pairs every doc is its own singleton component, and the loop
+    exits after the free first round (no init-sum job to compare)."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (7, "c")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long, jacc_x1e4 long")
+    got = {
+        (r["doc_id"], r["component"])
+        for r in dedup.dedup_components(pairs, docs).collect()
+    }
+    assert got == {(1, 1), (2, 2), (7, 7)}
